@@ -1,0 +1,162 @@
+"""Tile binning: build depth-ordered per-tile Gaussian lists, statically shaped.
+
+The reference builds dynamic per-tile lists with an inclusive scan + 64-bit
+radix sort of (tileID | depth) keys + range extraction
+(reference: cuda_rasterizer/rasterizer_impl.cu:70-336). That design needs
+dynamic allocation (num_rendered is data-dependent) and a device radix sort —
+neither is TPU-idiomatic. Here the same result is produced with static shapes:
+
+  1. argsort Gaussians by view depth once (N keys, cheap XLA sort);
+  2. expand each Gaussian to at most MAX_TILES_PER_GAUSSIAN tile slots from
+     its screen rect (radius clamped so the rect fits; clips are counted);
+  3. ONE stable single-key sort of the N*K slot array by tile id — stability
+     preserves the depth order within each tile, so no depth key is needed;
+  4. per-tile ranges by binary search, then a static [num_tiles, K_MAX]
+     gather (per-tile overflow beyond K_MAX is dropped and counted).
+
+The overflow/clip counters are surfaced so callers can grow capacities.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+TILE = 16  # tile edge in pixels (reference: cuda_rasterizer/config.h BLOCK_X/Y)
+
+
+class TileBinning(NamedTuple):
+    """Static-shape binning result.
+
+    order:       [N] int32 — Gaussian index sorted front-to-back by depth
+    tile_lists:  [T, K_MAX] int32 — per tile, ranks into `order` (depth order)
+    tile_counts: [T] int32 — valid entries per tile (<= K_MAX)
+    num_clipped: [] int32 — Gaussians whose rect was clipped to fit K_dup
+    num_overflow:[] int32 — per-tile entries dropped beyond K_MAX
+    """
+
+    order: jnp.ndarray
+    tile_lists: jnp.ndarray
+    tile_counts: jnp.ndarray
+    num_clipped: jnp.ndarray
+    num_overflow: jnp.ndarray
+
+
+def tile_grid(width: int, height: int, tile: int = TILE) -> tuple[int, int]:
+    return (-(-width // tile), -(-height // tile))
+
+
+def compute_rects(means2d: jnp.ndarray, radii: jnp.ndarray, width: int,
+                  height: int, tile: int = TILE):
+    """Per-Gaussian tile rect [x0, y0, x1, y1) like getRect
+    (reference: cuda_rasterizer/auxiliary.h:46-56)."""
+    gx, gy = tile_grid(width, height, tile)
+    r = radii.astype(jnp.float32)
+    x0 = jnp.clip(jnp.floor((means2d[:, 0] - r) / tile), 0, gx).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((means2d[:, 1] - r) / tile), 0, gy).astype(jnp.int32)
+    x1 = jnp.clip(jnp.floor((means2d[:, 0] + r + tile - 1) / tile), 0, gx).astype(jnp.int32)
+    y1 = jnp.clip(jnp.floor((means2d[:, 1] + r + tile - 1) / tile), 0, gy).astype(jnp.int32)
+    return x0, y0, x1, y1
+
+
+def bin_gaussians(
+    means2d: jnp.ndarray,
+    depths: jnp.ndarray,
+    radii: jnp.ndarray,
+    visible: jnp.ndarray,
+    width: int,
+    height: int,
+    tile: int = TILE,
+    max_tiles_per_gaussian: int = 64,
+    max_per_tile: int = 512,
+) -> TileBinning:
+    """Build depth-ordered per-tile lists. All shapes static.
+
+    Gaussians whose tile rect exceeds `max_tiles_per_gaussian` slots keep the
+    rect *centered* on their projected mean but clipped — this bounds the
+    duplication factor the way the reference's dynamic num_rendered cannot.
+    """
+    n = means2d.shape[0]
+    gx, gy = tile_grid(width, height, tile)
+    num_tiles = gx * gy
+    k_dup = max_tiles_per_gaussian
+
+    # 1. Depth order over visible Gaussians (invisible sink to the end).
+    order = jnp.argsort(jnp.where(visible, depths, jnp.inf)).astype(jnp.int32)
+    xy_s = means2d[order]
+    radii_s = radii[order]
+    vis_s = visible[order]
+
+    x0, y0, x1, y1 = compute_rects(xy_s, radii_s, width, height, tile)
+    rw = x1 - x0
+    rh = y1 - y0
+    area = rw * rh
+
+    # 2. Clip rects (centered) so rw*rh <= k_dup. Shrink the larger side first
+    #    by symmetric trimming around the tile containing the mean.
+    needs_clip = (area > k_dup) & vis_s
+    num_clipped = jnp.sum(needs_clip.astype(jnp.int32))
+
+    def clip_side(lo, hi, center, max_len):
+        """Trim [lo, hi) symmetrically around `center` to at most max_len."""
+        length = hi - lo
+        excess = jnp.maximum(length - max_len, 0)
+        lo2 = lo + excess // 2
+        hi2 = hi - (excess - excess // 2)
+        # Keep the center tile inside.
+        lo2 = jnp.minimum(lo2, center)
+        hi2 = jnp.maximum(hi2, center + 1)
+        return lo2, hi2
+
+    cx = jnp.clip((xy_s[:, 0] / tile).astype(jnp.int32), 0, gx - 1)
+    cy = jnp.clip((xy_s[:, 1] / tile).astype(jnp.int32), 0, gy - 1)
+    # Limit each side to sqrt-ish budget: w <= k, h <= k_dup // w.
+    side = int(max(1, int(k_dup**0.5)))
+    max_w = jnp.where(needs_clip, jnp.int32(side), jnp.maximum(rw, 1))
+    x0c, x1c = clip_side(x0, x1, cx, max_w)
+    rw_c = jnp.maximum(x1c - x0c, 1)
+    max_h = jnp.where(needs_clip, k_dup // rw_c, jnp.maximum(rh, 1))
+    y0c, y1c = clip_side(y0, y1, cy, max_h)
+    rw_f = x1c - x0c
+    area_f = rw_f * (y1c - y0c)
+    area_f = jnp.where(vis_s & (area > 0), area_f, 0)
+
+    # 3. Emit tile ids for each (gaussian, slot) pair; sentinel for invalid.
+    slots = jnp.arange(k_dup, dtype=jnp.int32)
+    sx = x0c[:, None] + slots[None, :] % jnp.maximum(rw_f, 1)[:, None]
+    sy = y0c[:, None] + slots[None, :] // jnp.maximum(rw_f, 1)[:, None]
+    valid = slots[None, :] < area_f[:, None]
+    tile_ids = jnp.where(valid, sy * gx + sx, num_tiles).astype(jnp.int32)
+
+    ranks = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None], (n, k_dup)
+    )
+    flat_ids = tile_ids.reshape(-1)
+    flat_ranks = ranks.reshape(-1)
+
+    # 4. ONE stable sort by tile id (depth order preserved within each tile).
+    sorted_ids, sorted_ranks = jax.lax.sort(
+        (flat_ids, flat_ranks), num_keys=1, is_stable=True
+    )
+
+    starts = jnp.searchsorted(sorted_ids, jnp.arange(num_tiles, dtype=jnp.int32),
+                              side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(sorted_ids, jnp.arange(num_tiles, dtype=jnp.int32),
+                            side="right").astype(jnp.int32)
+    counts = ends - starts
+    num_overflow = jnp.sum(jnp.maximum(counts - max_per_tile, 0))
+    tile_counts = jnp.minimum(counts, max_per_tile)
+
+    idx = starts[:, None] + jnp.arange(max_per_tile, dtype=jnp.int32)[None, :]
+    in_range = jnp.arange(max_per_tile, dtype=jnp.int32)[None, :] < tile_counts[:, None]
+    idx = jnp.clip(idx, 0, flat_ranks.shape[0] - 1)
+    tile_lists = jnp.where(in_range, sorted_ranks[idx], -1)
+
+    return TileBinning(
+        order=order,
+        tile_lists=tile_lists,
+        tile_counts=tile_counts,
+        num_clipped=num_clipped,
+        num_overflow=num_overflow,
+    )

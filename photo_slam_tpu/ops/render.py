@@ -1,0 +1,118 @@
+"""Public differentiable render API.
+
+Mirrors the role of GaussianRenderer::render + GaussianRasterizationSettings
+(reference: src/gaussian_renderer.cpp:23-149, include/gaussian_rasterizer.h:25-55)
+returning (image, viewspace_points-gradient hook, visibility_filter, radii) —
+but as a pure function of activated Gaussian attributes.
+
+The reference's `screenspace_points` zero tensor with retain_grad (used to
+accumulate densification stats) becomes an explicit `means2d_offset` argument:
+pass zeros and differentiate with respect to it to obtain the per-Gaussian
+view-space position gradient.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+
+from photo_slam_tpu.ops import dense as dense_mod
+from photo_slam_tpu.ops import preprocess as prep_mod
+from photo_slam_tpu.ops import tiled as tiled_mod
+from photo_slam_tpu.ops.camera_math import CameraMatrices
+
+
+class RenderSettings(NamedTuple):
+    """Static rasterization settings (shapes/FoV are compile-time constants)."""
+
+    width: int
+    height: int
+    tan_fovx: float
+    tan_fovy: float
+    sh_degree: int = 3
+    scale_modifier: float = 1.0
+    tile: int = 16
+    max_tiles_per_gaussian: int = 64
+    max_per_tile: int = 512
+    tiles_per_chunk: int = 16
+    mode: str = "tiled"  # "tiled" | "dense"
+
+
+class RenderResult(NamedTuple):
+    image: jnp.ndarray          # [3, H, W]
+    radii: jnp.ndarray          # [N] int32
+    visible: jnp.ndarray        # [N] bool (radii > 0)
+    final_T: jnp.ndarray        # [H, W]
+    n_contrib: jnp.ndarray      # [H, W]
+    num_clipped: jnp.ndarray    # [] int32 binning diagnostics (0 for dense)
+    num_overflow: jnp.ndarray   # [] int32
+
+
+def render(
+    means3d: jnp.ndarray,
+    scales: jnp.ndarray,
+    quats: jnp.ndarray,
+    opacities: jnp.ndarray,
+    cam: CameraMatrices,
+    settings: RenderSettings,
+    bg_color: jnp.ndarray,
+    shs: Optional[jnp.ndarray] = None,
+    colors_precomp: Optional[jnp.ndarray] = None,
+    cov3d_precomp: Optional[jnp.ndarray] = None,
+    live_mask: Optional[jnp.ndarray] = None,
+    means2d_offset: Optional[jnp.ndarray] = None,
+) -> RenderResult:
+    """Render a view of the Gaussian map.
+
+    All Gaussian attributes are ACTIVATED values: scales = exp(log_scale),
+    quats normalized, opacities = sigmoid(logit) with shape [N].
+    """
+    prep = prep_mod.preprocess(
+        means3d,
+        scales,
+        quats,
+        cam.viewmatrix,
+        cam.full_proj,
+        cam.cam_center,
+        settings.width,
+        settings.height,
+        settings.tan_fovx,
+        settings.tan_fovy,
+        sh_degree=settings.sh_degree,
+        shs=shs,
+        colors_precomp=colors_precomp,
+        cov3d_precomp=cov3d_precomp,
+        scale_modifier=settings.scale_modifier,
+        live_mask=live_mask,
+    )
+    if means2d_offset is not None:
+        prep = prep._replace(means2d=prep.means2d + means2d_offset)
+
+    zero = jnp.zeros((), jnp.int32)
+    if settings.mode == "dense":
+        out = dense_mod.render_dense(prep, opacities, settings.width,
+                                     settings.height, bg_color)
+        clipped, overflow = zero, zero
+    else:
+        out, binning = tiled_mod.render_tiled(
+            prep,
+            opacities,
+            settings.width,
+            settings.height,
+            bg_color,
+            tile=settings.tile,
+            max_tiles_per_gaussian=settings.max_tiles_per_gaussian,
+            max_per_tile=settings.max_per_tile,
+            tiles_per_chunk=settings.tiles_per_chunk,
+        )
+        clipped, overflow = binning.num_clipped, binning.num_overflow
+
+    return RenderResult(
+        image=out.image,
+        radii=prep.radii,
+        visible=prep.visible,
+        final_T=out.final_T,
+        n_contrib=out.n_contrib,
+        num_clipped=clipped,
+        num_overflow=overflow,
+    )

@@ -1,0 +1,154 @@
+"""Tiled renderer: per-tile alpha blending over binned Gaussian lists.
+
+TPU analog of the reference render kernel (reference:
+cuda_rasterizer/forward.cu:261-374): where CUDA launches one 16x16 thread
+block per tile with shared-memory batching, here tiles are processed as a
+batched vectorized blend — [tiles_chunk, K, pixels] elementwise work on the
+VPU plus one weighted-sum matmul per tile on the MXU. The per-pixel
+early-exit becomes a prefix mask over the cumulative transmittance (exact
+semantics; see ops/dense.py docstring).
+
+Differentiable by JAX AD; `jax.checkpoint` bounds backward memory by
+recomputing the per-chunk alpha tensor instead of storing it (the reference
+does the same thing manually by re-traversing tiles back-to-front in
+cuda_rasterizer/backward.cu:398-557).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from photo_slam_tpu.ops.binning import TILE, TileBinning, bin_gaussians, tile_grid
+from photo_slam_tpu.ops.dense import ALPHA_MAX, ALPHA_MIN, T_EPS, RenderOutput
+from photo_slam_tpu.ops.preprocess import Preprocessed
+
+
+def _blend_tile_chunk(xy, conic, opacity, rgb, valid, pix_x, pix_y):
+    """Blend a chunk of tiles at once (background composited by the caller).
+
+    xy [C,K,2], conic [C,K,3], opacity [C,K], rgb [C,K,3], valid [C,K]
+    pix_x, pix_y: [C,P] pixel coordinates of each tile's pixels
+    Returns (color [C,P,3], final_T [C,P], n_contrib [C,P]).
+    """
+    dx = xy[..., 0:1] - pix_x[:, None, :]  # [C,K,P]
+    dy = xy[..., 1:2] - pix_y[:, None, :]
+    power = (
+        -0.5 * (conic[..., 0:1] * dx * dx + conic[..., 2:3] * dy * dy)
+        - conic[..., 1:2] * dx * dy
+    )
+    alpha = jnp.minimum(ALPHA_MAX, opacity[..., None] * jnp.exp(power))
+    alpha = jnp.where((power > 0.0) | (alpha < ALPHA_MIN), 0.0, alpha)
+    alpha = jnp.where(valid[..., None], alpha, 0.0)
+
+    S = jnp.cumprod(1.0 - alpha, axis=1)
+    T = jnp.concatenate([jnp.ones_like(S[:, :1]), S[:, :-1]], axis=1)
+    counted = S >= T_EPS
+    w = alpha * T * counted  # [C,K,P]
+    color = jnp.einsum("ckp,ckd->cpd", w, rgb,
+                       preferred_element_type=jnp.float32)
+    final_T = jnp.min(jnp.where(counted, S, 1.0), axis=1)
+    n_contrib = jnp.sum((counted & (alpha > 0.0)).astype(jnp.int32), axis=1)
+    return color, final_T, n_contrib
+
+
+def render_binned(
+    prep: Preprocessed,
+    opacities: jnp.ndarray,
+    binning: TileBinning,
+    width: int,
+    height: int,
+    bg_color: jnp.ndarray,
+    tile: int = TILE,
+    tiles_per_chunk: int = 16,
+) -> RenderOutput:
+    """Blend pre-binned Gaussians into the image."""
+    gx, gy = tile_grid(width, height, tile)
+    num_tiles = gx * gy
+    p = tile * tile
+
+    # Depth-sorted per-Gaussian data (binning.order indexes original arrays).
+    xy_s = prep.means2d[binning.order]
+    conic_s = prep.conics[binning.order]
+    rgb_s = prep.rgb[binning.order]
+    op_s = opacities[binning.order]
+
+    # Pad tile axis to a multiple of the chunk size.
+    num_chunks = -(-num_tiles // tiles_per_chunk)
+    pad_t = num_chunks * tiles_per_chunk - num_tiles
+    tl = jnp.pad(binning.tile_lists, ((0, pad_t), (0, 0)), constant_values=-1)
+
+    tids = jnp.arange(num_chunks * tiles_per_chunk, dtype=jnp.int32)
+    tx = (tids % gx).astype(jnp.float32)
+    ty = (tids // gx).astype(jnp.float32)
+    py_in = jnp.arange(tile, dtype=jnp.float32)
+    px_in = jnp.arange(tile, dtype=jnp.float32)
+    pyy, pxx = jnp.meshgrid(py_in, px_in, indexing="ij")
+    pix_x_all = tx[:, None] * tile + pxx.reshape(-1)[None, :]  # [T', P]
+    pix_y_all = ty[:, None] * tile + pyy.reshape(-1)[None, :]
+
+    @jax.checkpoint
+    def do_chunk(args):
+        lists, pix_x, pix_y = args
+        valid = lists >= 0
+        li = jnp.maximum(lists, 0)
+        c, t, n = _blend_tile_chunk(
+            xy_s[li], conic_s[li], op_s[li], rgb_s[li], valid,
+            pix_x, pix_y,
+        )
+        return c, t, n
+
+    lists_c = tl.reshape(num_chunks, tiles_per_chunk, -1)
+    pix_x_c = pix_x_all.reshape(num_chunks, tiles_per_chunk, p)
+    pix_y_c = pix_y_all.reshape(num_chunks, tiles_per_chunk, p)
+    colors, ts, ns = jax.lax.map(do_chunk, (lists_c, pix_x_c, pix_y_c))
+    # [num_chunks, C, P, 3] -> [T', P, 3]
+    colors = colors.reshape(-1, p, 3)[:num_tiles]
+    ts = ts.reshape(-1, p)[:num_tiles]
+    ns = ns.reshape(-1, p)[:num_tiles]
+
+    def tiles_to_image(x):
+        """[T, P, ...] -> [gy*tile, gx*tile, ...] -> crop to [H, W, ...]."""
+        extra = x.shape[2:]
+        img = x.reshape(gy, gx, tile, tile, *extra)
+        img = jnp.moveaxis(img, 2, 1).reshape(gy * tile, gx * tile, *extra)
+        return img[:height, :width]
+
+    image = tiles_to_image(colors + ts[..., None] * bg_color[None, None, :])
+    final_T = tiles_to_image(ts)
+    n_contrib = tiles_to_image(ns)
+    return RenderOutput(
+        image=jnp.transpose(image, (2, 0, 1)),
+        final_T=final_T,
+        n_contrib=n_contrib,
+    )
+
+
+def render_tiled(
+    prep: Preprocessed,
+    opacities: jnp.ndarray,
+    width: int,
+    height: int,
+    bg_color: jnp.ndarray,
+    tile: int = TILE,
+    max_tiles_per_gaussian: int = 64,
+    max_per_tile: int = 512,
+    tiles_per_chunk: int = 16,
+) -> tuple[RenderOutput, TileBinning]:
+    """Full tiled path: bin then blend. Returns the binning for diagnostics."""
+    binning = bin_gaussians(
+        jax.lax.stop_gradient(prep.means2d),
+        jax.lax.stop_gradient(prep.depths),
+        prep.radii,
+        prep.visible,
+        width,
+        height,
+        tile=tile,
+        max_tiles_per_gaussian=max_tiles_per_gaussian,
+        max_per_tile=max_per_tile,
+    )
+    out = render_binned(prep, opacities, binning, width, height, bg_color,
+                        tile=tile, tiles_per_chunk=tiles_per_chunk)
+    return out, binning

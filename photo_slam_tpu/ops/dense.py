@@ -17,11 +17,10 @@ transmittance sequence only decreases at *counted* contributions, and since it
 is non-increasing, "counted" (S_k >= 1e-4) is a prefix of the sorted order.
 Differentiable end-to-end by JAX AD.
 
-One deliberate difference from the tiled renderer: the oracle blends every
-Gaussian into every pixel (no 3-sigma tile rect), so pixels far outside a
-Gaussian's rect can receive contributions the reference's binning drops; the
-alpha < 1/255 floor makes those zero except for extreme conic/opacity values.
-Tests account for this tolerance.
+The per-Gaussian tile-rect coverage test (a Gaussian only ever touches pixels
+whose 16x16 tile lies inside its 3-sigma screen rect) is applied per pixel, so
+this renderer reproduces the reference's binned output bit-for-bit in exact
+arithmetic — including the rect-edge clipping the binning implies.
 """
 from __future__ import annotations
 
@@ -43,7 +42,8 @@ class RenderOutput(NamedTuple):
     n_contrib: jnp.ndarray  # [H, W] int32 number of counted contributions
 
 
-def blend_pixels(xy, conic, opacity, rgb, active, pix_x, pix_y, bg):
+def blend_pixels(xy, conic, opacity, rgb, active, pix_x, pix_y, bg,
+                 rects=None, tile: int = 16):
     """Blend depth-sorted Gaussians into a flat set of pixels.
 
     Args:
@@ -51,12 +51,13 @@ def blend_pixels(xy, conic, opacity, rgb, active, pix_x, pix_y, bg):
         data already sorted front-to-back by view depth.
       pix_x, pix_y: [P] pixel center coordinates.
       bg: [3] background color.
+      rects: optional (x0, y0, x1, y1) tile rects [N] each; when given, a
+        Gaussian only touches pixels whose tile lies inside its rect —
+        reproducing the reference's binning-induced clipping exactly.
 
     Returns (color [P,3] incl. background, final_T [P], n_contrib [P]).
 
-    This function is shared by the dense oracle and the tiled renderer (which
-    calls it per tile on gathered lists); semantics follow
-    reference cuda_rasterizer/forward.cu:325-373.
+    Semantics follow reference cuda_rasterizer/forward.cu:325-373.
     """
     dx = xy[:, 0:1] - pix_x[None, :]  # [N, P]
     dy = xy[:, 1:2] - pix_y[None, :]
@@ -67,6 +68,15 @@ def blend_pixels(xy, conic, opacity, rgb, active, pix_x, pix_y, bg):
     alpha = jnp.minimum(ALPHA_MAX, opacity[:, None] * jnp.exp(power))
     alpha = jnp.where((power > 0.0) | (alpha < ALPHA_MIN), 0.0, alpha)
     alpha = jnp.where(active[:, None], alpha, 0.0)
+    if rects is not None:
+        x0, y0, x1, y1 = rects
+        ptx = (pix_x / tile).astype(jnp.int32)[None, :]
+        pty = (pix_y / tile).astype(jnp.int32)[None, :]
+        in_rect = (
+            (ptx >= x0[:, None]) & (ptx < x1[:, None])
+            & (pty >= y0[:, None]) & (pty < y1[:, None])
+        )
+        alpha = jnp.where(in_rect, alpha, 0.0)
 
     # S_k = prod_{j<=k} (1 - alpha_j); T_k = S_{k-1}; counted iff S_k >= eps.
     one_minus = 1.0 - alpha
@@ -87,12 +97,15 @@ def render_dense(prep: Preprocessed, opacities: jnp.ndarray, width: int,
 
     `opacities` is the activated (sigmoid) opacity, shape [N].
     """
+    from photo_slam_tpu.ops.binning import compute_rects
+
     order = jnp.argsort(jnp.where(prep.visible, prep.depths, jnp.inf))
     xy = prep.means2d[order]
     conic = prep.conics[order]
     rgb = prep.rgb[order]
     op = opacities[order]
     active = prep.visible[order]
+    rects = compute_rects(xy, prep.radii[order], width, height)
 
     xs = jnp.arange(width, dtype=jnp.float32)
 
@@ -100,7 +113,8 @@ def render_dense(prep: Preprocessed, opacities: jnp.ndarray, width: int,
         yy = y0 + jnp.arange(row_chunk, dtype=jnp.float32)
         py, px = jnp.meshgrid(yy, xs, indexing="ij")
         c, t, n = blend_pixels(xy, conic, op, rgb, active,
-                               px.reshape(-1), py.reshape(-1), bg_color)
+                               px.reshape(-1), py.reshape(-1), bg_color,
+                               rects=rects)
         return (
             c.reshape(row_chunk, width, 3),
             t.reshape(row_chunk, width),

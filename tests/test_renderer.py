@@ -1,0 +1,232 @@
+"""Renderer correctness: dense & tiled JAX renderers vs the literal numpy
+oracle (tests/np_reference.py), plus gradient sanity checks."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from photo_slam_tpu.ops import preprocess as prep_mod
+from photo_slam_tpu.ops.camera_math import build_camera_matrices
+from photo_slam_tpu.ops.dense import render_dense
+from photo_slam_tpu.ops.render import RenderSettings, render
+from photo_slam_tpu.ops.tiled import render_tiled
+
+from np_reference import render_reference
+
+WIDTH, HEIGHT = 64, 48
+FOVX, FOVY = 1.0, 0.8
+
+
+def make_scene(n=40, seed=0, spread=2.0, z_range=(3.0, 8.0), scale=0.12):
+    rng = np.random.RandomState(seed)
+    means = np.stack([
+        rng.uniform(-spread, spread, n),
+        rng.uniform(-spread * 0.7, spread * 0.7, n),
+        rng.uniform(*z_range, n),
+    ], axis=1).astype(np.float32)
+    scales = rng.uniform(0.3 * scale, scale, (n, 3)).astype(np.float32)
+    quats = rng.randn(n, 4).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+    opac = rng.uniform(0.3, 0.95, n).astype(np.float32)
+    colors = rng.uniform(0.05, 0.95, (n, 3)).astype(np.float32)
+    return means, scales, quats, opac, colors
+
+
+def make_cam():
+    # Identity pose looking down +z.
+    return build_camera_matrices(np.eye(3), np.zeros(3), 0.01, 100.0, FOVX, FOVY)
+
+
+def run_prep(means, scales, quats, colors, cam, live=None):
+    return prep_mod.preprocess(
+        jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+        cam.viewmatrix, cam.full_proj, cam.cam_center,
+        WIDTH, HEIGHT, np.tan(FOVX / 2), np.tan(FOVY / 2),
+        colors_precomp=jnp.asarray(colors),
+        live_mask=live,
+    )
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    means, scales, quats, opac, colors = make_scene()
+    cam = make_cam()
+    img, final_T, n_contrib = render_reference(
+        means.astype(np.float64), scales.astype(np.float64),
+        quats.astype(np.float64), opac.astype(np.float64),
+        colors.astype(np.float64),
+        np.asarray(cam.viewmatrix, dtype=np.float64),
+        np.asarray(cam.full_proj, dtype=np.float64),
+        WIDTH, HEIGHT, np.tan(FOVX / 2), np.tan(FOVY / 2),
+        bg=np.zeros(3),
+    )
+    return means, scales, quats, opac, colors, cam, img, final_T, n_contrib
+
+
+class TestVsOracle:
+    def test_tiled_matches_oracle(self, oracle):
+        means, scales, quats, opac, colors, cam, ref_img, ref_T, _ = oracle
+        prep = run_prep(means, scales, quats, colors, cam)
+        out, binning = render_tiled(prep, jnp.asarray(opac), WIDTH, HEIGHT,
+                                    jnp.zeros(3))
+        assert int(binning.num_overflow) == 0
+        assert int(binning.num_clipped) == 0
+        np.testing.assert_allclose(np.asarray(out.image), ref_img, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(out.final_T), ref_T, atol=2e-3)
+
+    def test_dense_matches_oracle(self, oracle):
+        means, scales, quats, opac, colors, cam, ref_img, ref_T, _ = oracle
+        prep = run_prep(means, scales, quats, colors, cam)
+        out = render_dense(prep, jnp.asarray(opac), WIDTH, HEIGHT, jnp.zeros(3))
+        # Dense blends outside the 3-sigma rect too; those extra
+        # contributions are < 1/255 each -> small tolerance.
+        np.testing.assert_allclose(np.asarray(out.image), ref_img, atol=5e-3)
+
+    def test_tiled_matches_dense(self, oracle):
+        means, scales, quats, opac, colors, cam, *_ = oracle
+        prep = run_prep(means, scales, quats, colors, cam)
+        out_d = render_dense(prep, jnp.asarray(opac), WIDTH, HEIGHT, jnp.zeros(3))
+        out_t, _ = render_tiled(prep, jnp.asarray(opac), WIDTH, HEIGHT, jnp.zeros(3))
+        np.testing.assert_allclose(np.asarray(out_t.image),
+                                   np.asarray(out_d.image), atol=5e-3)
+
+    def test_background_composited(self, oracle):
+        means, scales, quats, opac, colors, cam, *_ = oracle
+        prep = run_prep(means, scales, quats, colors, cam)
+        bg = jnp.array([1.0, 0.0, 0.5])
+        out, _ = render_tiled(prep, jnp.asarray(opac), WIDTH, HEIGHT, bg)
+        img = np.asarray(out.image)
+        # Corner pixels with no gaussian coverage = pure background.
+        T_corner = float(out.final_T[0, 0])
+        if T_corner > 0.999:
+            np.testing.assert_allclose(img[:, 0, 0], np.asarray(bg), atol=1e-5)
+
+    def test_live_mask_removes_gaussians(self, oracle):
+        means, scales, quats, opac, colors, cam, *_ = oracle
+        live = jnp.zeros(means.shape[0], dtype=bool)
+        prep = run_prep(means, scales, quats, colors, cam, live=live)
+        out, _ = render_tiled(prep, jnp.asarray(opac), WIDTH, HEIGHT, jnp.zeros(3))
+        np.testing.assert_allclose(np.asarray(out.image), 0.0, atol=1e-7)
+        assert not bool(prep.visible.any())
+
+
+class TestRenderAPI:
+    def test_render_with_sh(self, oracle):
+        means, scales, quats, opac, colors, cam, *_ = oracle
+        n = means.shape[0]
+        from photo_slam_tpu.ops.sh import rgb_to_sh
+        shs = np.zeros((n, 16, 3), dtype=np.float32)
+        shs[:, 0, :] = np.asarray(rgb_to_sh(jnp.asarray(colors)))
+        settings = RenderSettings(width=WIDTH, height=HEIGHT,
+                                  tan_fovx=np.tan(FOVX / 2),
+                                  tan_fovy=np.tan(FOVY / 2), sh_degree=0)
+        res = render(jnp.asarray(means), jnp.asarray(scales),
+                     jnp.asarray(quats), jnp.asarray(opac), cam, settings,
+                     jnp.zeros(3), shs=jnp.asarray(shs))
+        # DC-only SH must reproduce the precomputed-color render.
+        res2 = render(jnp.asarray(means), jnp.asarray(scales),
+                      jnp.asarray(quats), jnp.asarray(opac), cam, settings,
+                      jnp.zeros(3), colors_precomp=jnp.asarray(colors))
+        np.testing.assert_allclose(np.asarray(res.image),
+                                   np.asarray(res2.image), atol=1e-4)
+        assert res.radii.shape == (n,)
+        assert bool(res.visible.any())
+
+    def test_dense_mode(self, oracle):
+        means, scales, quats, opac, colors, cam, *_ = oracle
+        settings = RenderSettings(width=WIDTH, height=HEIGHT,
+                                  tan_fovx=np.tan(FOVX / 2),
+                                  tan_fovy=np.tan(FOVY / 2), mode="dense")
+        res = render(jnp.asarray(means), jnp.asarray(scales),
+                     jnp.asarray(quats), jnp.asarray(opac), cam, settings,
+                     jnp.zeros(3), colors_precomp=jnp.asarray(colors))
+        assert res.image.shape == (3, HEIGHT, WIDTH)
+
+
+class TestGradients:
+    def test_grad_flows_to_all_params(self, oracle):
+        means, scales, quats, opac, colors, cam, *_ = oracle
+        settings = RenderSettings(width=WIDTH, height=HEIGHT,
+                                  tan_fovx=np.tan(FOVX / 2),
+                                  tan_fovy=np.tan(FOVY / 2))
+
+        def loss_fn(m, s, q, o, c):
+            res = render(m, s, q, o, cam, settings, jnp.zeros(3),
+                         colors_precomp=c)
+            return jnp.sum(res.image ** 2)
+
+        grads = jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4))(
+            jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+            jnp.asarray(opac), jnp.asarray(colors))
+        names = ["means", "scales", "quats", "opacity", "colors"]
+        for name, g in zip(names, grads):
+            arr = np.asarray(g)
+            assert np.isfinite(arr).all(), f"{name} grad has NaN/Inf"
+            assert np.abs(arr).max() > 0, f"{name} grad is all zero"
+
+    def test_tiled_grad_matches_dense_grad(self, oracle):
+        means, scales, quats, opac, colors, cam, *_ = oracle
+        base = dict(tan_fovx=np.tan(FOVX / 2), tan_fovy=np.tan(FOVY / 2),
+                    width=WIDTH, height=HEIGHT)
+
+        def mk_loss(mode):
+            settings = RenderSettings(mode=mode, **base)
+
+            def loss_fn(o, c):
+                res = render(jnp.asarray(means), jnp.asarray(scales),
+                             jnp.asarray(quats), o, cam, settings,
+                             jnp.zeros(3), colors_precomp=c)
+                return jnp.mean(res.image)
+
+            return loss_fn
+
+        g_t = jax.grad(mk_loss("tiled"), argnums=(0, 1))(
+            jnp.asarray(opac), jnp.asarray(colors))
+        g_d = jax.grad(mk_loss("dense"), argnums=(0, 1))(
+            jnp.asarray(opac), jnp.asarray(colors))
+        np.testing.assert_allclose(np.asarray(g_t[0]), np.asarray(g_d[0]),
+                                   atol=2e-4)
+        np.testing.assert_allclose(np.asarray(g_t[1]), np.asarray(g_d[1]),
+                                   atol=2e-4)
+
+    def test_means2d_offset_grad(self, oracle):
+        """The viewspace-gradient hook used for densification stats."""
+        means, scales, quats, opac, colors, cam, *_ = oracle
+        settings = RenderSettings(width=WIDTH, height=HEIGHT,
+                                  tan_fovx=np.tan(FOVX / 2),
+                                  tan_fovy=np.tan(FOVY / 2))
+        n = means.shape[0]
+
+        def loss_fn(offset):
+            res = render(jnp.asarray(means), jnp.asarray(scales),
+                         jnp.asarray(quats), jnp.asarray(opac), cam, settings,
+                         jnp.zeros(3), colors_precomp=jnp.asarray(colors),
+                         means2d_offset=offset)
+            return jnp.mean((res.image - 0.5) ** 2)
+
+        g = jax.grad(loss_fn)(jnp.zeros((n, 2)))
+        arr = np.asarray(g)
+        assert np.isfinite(arr).all()
+        assert np.abs(arr).max() > 0
+
+    def test_numeric_gradcheck_opacity(self, oracle):
+        means, scales, quats, opac, colors, cam, *_ = oracle
+        settings = RenderSettings(width=WIDTH, height=HEIGHT,
+                                  tan_fovx=np.tan(FOVX / 2),
+                                  tan_fovy=np.tan(FOVY / 2))
+
+        def loss_fn(o):
+            res = render(jnp.asarray(means), jnp.asarray(scales),
+                         jnp.asarray(quats), o, cam, settings, jnp.zeros(3),
+                         colors_precomp=jnp.asarray(colors))
+            return jnp.mean(res.image)
+
+        o0 = jnp.asarray(opac)
+        g = np.asarray(jax.grad(loss_fn)(o0))
+        # Central differences on a few entries.
+        eps = 1e-3
+        for i in [0, 5, 17]:
+            op = o0.at[i].add(eps)
+            om = o0.at[i].add(-eps)
+            fd = (float(loss_fn(op)) - float(loss_fn(om))) / (2 * eps)
+            assert g[i] == pytest.approx(fd, rel=0.05, abs=1e-6)

@@ -1,0 +1,145 @@
+"""Mean squared distance to the 3 nearest neighbors — Gaussian scale init.
+
+TPU replacement for simple-knn's distCUDA2 (reference:
+third_party/simple-knn/simple_knn.cu:185-221, spatial.cu:15-25): where the
+CUDA code Morton-sorts points into 1024-point boxes and prunes the search by
+box bounds, here:
+
+  * small N: exact chunked brute force — the [chunk, N] distance matrix is one
+    MXU matmul (|a-b|^2 = |a|^2 + |b|^2 - 2 a.b) followed by top-k; exact,
+    unlike the reference's box-pruned search.
+  * large N: Morton-code sort + windowed search (each point only checks a
+    +-W window in Morton order) — same locality trick as simple-knn, fully
+    vectorized, no data-dependent shapes.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_BRUTE_FORCE_MAX = 65536
+_SENTINEL = 1e19
+
+
+def _mean_excluding_sentinel(dists: jnp.ndarray) -> jnp.ndarray:
+    """Mean over the last axis, ignoring sentinel-distance (missing) entries.
+    With fewer than k real neighbors the mean is over the ones that exist;
+    with none it's 0."""
+    real = dists < _SENTINEL
+    cnt = jnp.maximum(jnp.sum(real, axis=-1), 1)
+    return jnp.sum(jnp.where(real, jnp.maximum(dists, 0.0), 0.0), axis=-1) / cnt
+
+
+def _knn_mean_sq_dist_brute(points: jnp.ndarray, live: jnp.ndarray, k: int,
+                            chunk: int = 2048) -> jnp.ndarray:
+    """Exact chunked brute force. points [N,3], live [N] bool -> [N]."""
+    n = points.shape[0]
+    sq = jnp.sum(points * points, axis=-1)
+    big = jnp.float32(1e20)
+
+    num_chunks = -(-n // chunk)
+    pad = num_chunks * chunk - n
+    pts_p = jnp.pad(points, ((0, pad), (0, 0)))
+    sq_p = jnp.pad(sq, (0, pad))
+    live_p = jnp.pad(live, (0, pad))
+
+    def do_chunk(args):
+        cpts, csq, clive, cidx = args
+        # [chunk, N] squared distances via one matmul.
+        d = (
+            csq[:, None]
+            + sq[None, :]
+            - 2.0 * jnp.dot(cpts, points.T, preferred_element_type=jnp.float32)
+        )
+        # Exclude self and dead points.
+        col = jnp.arange(n, dtype=jnp.int32)[None, :]
+        d = jnp.where(col == cidx[:, None], big, d)
+        d = jnp.where(live[None, :], d, big)
+        neg_top, _ = jax.lax.top_k(-d, k)
+        mean = _mean_excluding_sentinel(-neg_top)
+        return jnp.where(clive, mean, 0.0)
+
+    idx = jnp.arange(num_chunks * chunk, dtype=jnp.int32)
+    out = jax.lax.map(
+        do_chunk,
+        (
+            pts_p.reshape(num_chunks, chunk, 3),
+            sq_p.reshape(num_chunks, chunk),
+            live_p.reshape(num_chunks, chunk),
+            idx.reshape(num_chunks, chunk),
+        ),
+    )
+    return out.reshape(-1)[:n]
+
+
+def _morton_codes(points: jnp.ndarray, live: jnp.ndarray) -> jnp.ndarray:
+    """30-bit Morton codes from points quantized to a 1024^3 grid over the
+    live bounding box (same locality structure as simple_knn.cu:45-70)."""
+    big = jnp.float32(1e20)
+    lo = jnp.min(jnp.where(live[:, None], points, big), axis=0)
+    hi = jnp.max(jnp.where(live[:, None], points, -big), axis=0)
+    extent = jnp.maximum(hi - lo, 1e-9)
+    q = jnp.clip(((points - lo) / extent) * 1023.0, 0, 1023).astype(jnp.uint32)
+
+    def spread(v):
+        v = (v | (v << 16)) & jnp.uint32(0x030000FF)
+        v = (v | (v << 8)) & jnp.uint32(0x0300F00F)
+        v = (v | (v << 4)) & jnp.uint32(0x030C30C3)
+        v = (v | (v << 2)) & jnp.uint32(0x09249249)
+        return v
+
+    return (
+        spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
+    ).astype(jnp.uint32)
+
+
+def _knn_mean_sq_dist_morton(points: jnp.ndarray, live: jnp.ndarray, k: int,
+                             window: int = 64) -> jnp.ndarray:
+    """Approximate KNN over a +-window neighborhood in Morton order."""
+    n = points.shape[0]
+    big = jnp.float32(1e20)
+    codes = _morton_codes(points, live)
+    # Dead points sink to the end of the Morton order.
+    key = jnp.where(live, codes, jnp.uint32(0xFFFFFFFF))
+    order = jnp.argsort(key)
+    pts_s = points[order]
+    live_s = live[order]
+
+    offs = jnp.arange(-window, window + 1, dtype=jnp.int32)
+    offs = offs[offs != 0]
+    idx = jnp.arange(n, dtype=jnp.int32)[:, None] + offs[None, :]
+    valid = (idx >= 0) & (idx < n)
+    idx = jnp.clip(idx, 0, n - 1)
+    nbr = pts_s[idx]                       # [N, 2W, 3]
+    nbr_live = live_s[idx] & valid
+    d = jnp.sum((pts_s[:, None, :] - nbr) ** 2, axis=-1)
+    d = jnp.where(nbr_live, d, big)
+    neg_top, _ = jax.lax.top_k(-d, k)
+    mean_s = _mean_excluding_sentinel(-neg_top)
+    mean_s = jnp.where(live_s, mean_s, 0.0)
+    # Scatter back to original order.
+    out = jnp.zeros(n, dtype=points.dtype).at[order].set(mean_s)
+    return out
+
+
+def knn_mean_sq_dist(points: jnp.ndarray, live: jnp.ndarray | None = None,
+                     k: int = 3) -> jnp.ndarray:
+    """Mean squared distance of each live point to its k nearest live
+    neighbors (distCUDA2 semantics). Returns [N]; dead entries are 0."""
+    n = points.shape[0]
+    if live is None:
+        live = jnp.ones(n, dtype=bool)
+    if n <= _BRUTE_FORCE_MAX:
+        return _knn_mean_sq_dist_brute(points, live, k)
+    return _knn_mean_sq_dist_morton(points, live, k)
+
+
+def scale_init_from_points(points: jnp.ndarray,
+                           live: jnp.ndarray | None = None) -> jnp.ndarray:
+    """log-scale init: log(sqrt(clamp(knn_dist2, 1e-7))) replicated to 3 axes
+    (reference: src/gaussian_model.cpp:154-158)."""
+    dist2 = jnp.maximum(knn_mean_sq_dist(points, live), 1e-7)
+    s = jnp.log(jnp.sqrt(dist2))
+    return jnp.repeat(s[:, None], 3, axis=1)

@@ -1,0 +1,317 @@
+"""Model-layer tests: KNN scale init, state creation/insertion, masked Adam,
+densify/prune state transitions, opacity reset, PLY round-trip."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from photo_slam_tpu.models import densify as dz
+from photo_slam_tpu.models import gaussian_model as gm
+from photo_slam_tpu.models import optimizer as opt
+from photo_slam_tpu.ops.knn import knn_mean_sq_dist
+from photo_slam_tpu.utils import ply
+
+
+class TestKNN:
+    def test_unit_grid(self):
+        # 3D grid with spacing 1: each interior point's 3 NN are at distance 1.
+        g = np.stack(np.meshgrid(*[np.arange(4.0)] * 3, indexing="ij"),
+                     axis=-1).reshape(-1, 3)
+        d2 = np.asarray(knn_mean_sq_dist(jnp.asarray(g)))
+        np.testing.assert_allclose(d2, 1.0, atol=1e-5)
+
+    def test_matches_bruteforce_numpy(self):
+        rng = np.random.RandomState(0)
+        pts = rng.randn(100, 3).astype(np.float32)
+        d2 = np.asarray(knn_mean_sq_dist(jnp.asarray(pts)))
+        # numpy oracle
+        dist = ((pts[:, None] - pts[None]) ** 2).sum(-1)
+        np.fill_diagonal(dist, np.inf)
+        expected = np.sort(dist, axis=1)[:, :3].mean(1)
+        np.testing.assert_allclose(d2, expected, rtol=1e-4)
+
+    def test_live_mask_excludes(self):
+        pts = np.array([[0, 0, 0], [1, 0, 0], [2, 0, 0], [100, 0, 0]],
+                       dtype=np.float32)
+        live = jnp.array([True, True, True, False])
+        d2 = np.asarray(knn_mean_sq_dist(jnp.asarray(pts), live))
+        # Dead point must not appear as neighbor; with only 2 live neighbors
+        # the remaining top-k slots clamp to >= 0.
+        assert d2[3] == 0.0
+        assert d2[0] < 100.0
+
+    def test_morton_path_reasonable(self):
+        from photo_slam_tpu.ops.knn import _knn_mean_sq_dist_morton
+        rng = np.random.RandomState(1)
+        pts = jnp.asarray(rng.rand(2000, 3).astype(np.float32))
+        live = jnp.ones(2000, bool)
+        exact = np.asarray(knn_mean_sq_dist(pts, live))
+        approx = np.asarray(_knn_mean_sq_dist_morton(pts, live, 3, window=64))
+        # Approximation overshoots when true NN falls outside the window;
+        # median ratio should stay close to 1.
+        ratio = approx / np.maximum(exact, 1e-12)
+        assert np.median(ratio) < 1.5
+        assert (ratio >= 1.0 - 1e-3).all()  # never underestimates (fp slack)
+
+
+def make_state(n=20, cap=64, seed=0):
+    rng = np.random.RandomState(seed)
+    pts = rng.randn(n, 3).astype(np.float32)
+    cols = rng.rand(n, 3).astype(np.float32)
+    return gm.create_from_pcd(pts, cols, sh_degree=3, capacity=cap), pts, cols
+
+
+class TestGaussianState:
+    def test_create_from_pcd(self):
+        state, pts, cols = make_state()
+        assert int(gm.num_live(state)) == 20
+        assert state.capacity == 64
+        np.testing.assert_allclose(state.params.xyz[:20], pts, atol=1e-6)
+        # DC SH reproduces color
+        from photo_slam_tpu.ops.sh import sh_to_rgb_dc
+        back = np.asarray(sh_to_rgb_dc(state.params.features_dc[:20, 0]))
+        np.testing.assert_allclose(back, cols, atol=1e-5)
+        # opacity activation = 0.1
+        scales_a, quats_a, opac = gm.activated(state.params)
+        np.testing.assert_allclose(opac[:20], 0.1, atol=1e-5)
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(quats_a), axis=1), 1.0, atol=1e-5)
+
+    def test_insert_points(self):
+        state, _, _ = make_state()
+        new_pts = jnp.asarray(np.random.RandomState(1).randn(8, 3), jnp.float32)
+        new_cols = jnp.full((8, 3), 0.5)
+        valid = jnp.ones(8, bool)
+        state2, dst = gm.insert_points(state, new_pts, new_cols, valid,
+                                       jnp.int32(123))
+        assert int(gm.num_live(state2)) == 28
+        d = np.asarray(dst)
+        assert (d >= 0).all()
+        # Inserted slots carry the new positions and iteration stamp.
+        np.testing.assert_allclose(np.asarray(state2.params.xyz)[d], new_pts,
+                                   atol=1e-6)
+        assert (np.asarray(state2.exist_since_iter)[d] == 123).all()
+
+    def test_insert_overflow_drops(self):
+        state, _, _ = make_state(n=60, cap=64)
+        new_pts = jnp.zeros((10, 3))
+        new_cols = jnp.zeros((10, 3))
+        valid = jnp.ones(10, bool)
+        state2, dst = gm.insert_points(state, new_pts, new_cols, valid,
+                                       jnp.int32(0))
+        assert int(gm.num_live(state2)) == 64
+        assert int((dst >= 0).sum()) == 4
+
+    def test_grow_capacity(self):
+        state, pts, _ = make_state()
+        state2 = gm.grow_capacity(state, 128)
+        assert state2.capacity == 128
+        assert int(gm.num_live(state2)) == 20
+        np.testing.assert_allclose(state2.params.xyz[:20], pts, atol=1e-6)
+
+
+class TestAdam:
+    def test_matches_torch_adam(self):
+        """One Adam step against torch.optim.Adam with identical settings."""
+        torch = pytest.importorskip("torch")
+        rng = np.random.RandomState(0)
+        x0 = rng.randn(16, 3).astype(np.float32)
+        g0 = rng.randn(16, 3).astype(np.float32)
+
+        t_x = torch.tensor(x0, requires_grad=True)
+        topt = torch.optim.Adam([t_x], lr=1e-2, eps=1e-15)
+        t_x.grad = torch.tensor(g0)
+        topt.step()
+        t_x.grad = torch.tensor(g0 * 0.5)
+        topt.step()
+
+        state, _, _ = make_state(n=16, cap=16)
+        params = state.params._replace(xyz=jnp.asarray(x0))
+        ostate = opt.init_adam(params)
+        lrs = opt.LearningRates.create(1e-2, 0.0, 0.0, 0.0, 0.0)
+        zero_g = jax.tree.map(jnp.zeros_like, params)
+        live = jnp.ones(16, bool)
+        g1 = zero_g._replace(xyz=jnp.asarray(g0))
+        params, ostate = opt.adam_step(params, g1, ostate, lrs, live)
+        g2 = zero_g._replace(xyz=jnp.asarray(g0 * 0.5))
+        params, ostate = opt.adam_step(params, g2, ostate, lrs, live)
+
+        np.testing.assert_allclose(np.asarray(params.xyz),
+                                   t_x.detach().numpy(), atol=1e-6)
+
+    def test_dead_slots_frozen(self):
+        state, _, _ = make_state(n=4, cap=8)
+        params = state.params
+        ostate = opt.init_adam(params)
+        lrs = opt.LearningRates.create(0.1, 0.1, 0.1, 0.1, 0.1)
+        grads = jax.tree.map(jnp.ones_like, params)
+        p2, _ = opt.adam_step(params, grads, ostate, lrs, state.live)
+        np.testing.assert_allclose(np.asarray(p2.xyz)[4:],
+                                   np.asarray(params.xyz)[4:])
+        assert not np.allclose(np.asarray(p2.xyz)[:4],
+                               np.asarray(params.xyz)[:4])
+
+    def test_expon_lr_schedule(self):
+        # Matches the reference exponLrFunc shape: log-lerp init->final.
+        lr0 = float(opt.expon_lr(0, 1e-2, 1e-4, max_steps=100))
+        lr100 = float(opt.expon_lr(100, 1e-2, 1e-4, max_steps=100))
+        lr50 = float(opt.expon_lr(50, 1e-2, 1e-4, max_steps=100))
+        assert lr0 == pytest.approx(1e-2, rel=1e-5)
+        assert lr100 == pytest.approx(1e-4, rel=1e-5)
+        assert lr50 == pytest.approx(1e-3, rel=1e-4)  # geometric midpoint
+        assert float(opt.expon_lr(-1, 1e-2, 1e-4)) == 0.0
+
+    def test_zero_moments_surgery(self):
+        state, _, _ = make_state(n=8, cap=8)
+        params = state.params
+        ostate = opt.init_adam(params)
+        grads = jax.tree.map(jnp.ones_like, params)
+        lrs = opt.LearningRates.create(0.1, 0.1, 0.1, 0.1, 0.1)
+        _, ostate = opt.adam_step(params, grads, ostate, lrs, state.live)
+        mask = jnp.zeros(8, bool).at[2].set(True)
+        o2 = opt.zero_moments_where(ostate, mask)
+        assert float(jnp.abs(o2.m.xyz[2]).max()) == 0.0
+        assert float(jnp.abs(o2.m.xyz[1]).max()) > 0.0
+
+
+class TestDensify:
+    def _stats(self, state, grad_val):
+        g = jnp.full((state.capacity, 2), grad_val)
+        return dz.add_densification_stats(state, g, state.live)
+
+    def test_stats_accumulation(self):
+        state, _, _ = make_state(n=4, cap=8)
+        g = jnp.zeros((8, 2)).at[0].set(jnp.array([3.0, 4.0]))
+        vis = jnp.zeros(8, bool).at[0].set(True)
+        s2 = dz.add_densification_stats(state, g, vis)
+        assert float(s2.xyz_grad_accum[0]) == pytest.approx(5.0)
+        assert float(s2.denom[0]) == 1.0
+        assert float(s2.denom[1]) == 0.0
+
+    def test_clone_small_gaussian(self):
+        state, _, _ = make_state(n=4, cap=16)
+        # Small scales -> clone path.
+        params = state.params._replace(log_scales=jnp.full((16, 3), -5.0))
+        state = state._replace(params=params)
+        state = self._stats(state, 1.0)  # big grads for everyone live
+        ostate = opt.init_adam(state.params)
+        s2, o2, info = dz.densify_and_prune(
+            state, ostate, jax.random.PRNGKey(0), grad_threshold=0.5,
+            min_opacity=0.005, extent=100.0, max_screen_size=0,
+            percent_dense=0.01)
+        assert int(info.num_cloned) == 4
+        assert int(info.num_split) == 0
+        assert int(gm.num_live(s2)) == 8
+        # Stats reset after the event (densificationPostfix semantics).
+        assert float(jnp.abs(s2.xyz_grad_accum).max()) == 0.0
+        assert float(jnp.abs(s2.denom).max()) == 0.0
+
+    def test_split_large_gaussian(self):
+        state, _, _ = make_state(n=4, cap=16)
+        params = state.params._replace(log_scales=jnp.zeros((16, 3)))  # scale 1
+        state = state._replace(params=params)
+        state = self._stats(state, 1.0)
+        ostate = opt.init_adam(state.params)
+        s2, _, info = dz.densify_and_prune(
+            state, ostate, jax.random.PRNGKey(0), grad_threshold=0.5,
+            min_opacity=0.005, extent=1.0, max_screen_size=0,
+            percent_dense=0.01)
+        assert int(info.num_split) == 4
+        # 4 parents killed, 8 children born.
+        assert int(gm.num_live(s2)) == 8
+        # Children scale = parent / 1.6.
+        live_scales = np.exp(np.asarray(s2.params.log_scales)[np.asarray(s2.live)])
+        np.testing.assert_allclose(live_scales, 1.0 / 1.6, rtol=1e-5)
+
+    def test_prune_low_opacity(self):
+        state, _, _ = make_state(n=4, cap=16)
+        logit = state.params.opacity_logit.at[0].set(-10.0)  # ~0 opacity
+        state = state._replace(params=state.params._replace(opacity_logit=logit))
+        ostate = opt.init_adam(state.params)
+        s2, _, info = dz.densify_and_prune(
+            state, ostate, jax.random.PRNGKey(0), grad_threshold=1e9,
+            min_opacity=0.005, extent=1.0, max_screen_size=0,
+            percent_dense=0.01)
+        assert int(info.num_pruned) == 1
+        assert int(gm.num_live(s2)) == 3
+        assert not bool(s2.live[0])
+
+    def test_prune_big_screen_radius(self):
+        state, _, _ = make_state(n=4, cap=16)
+        state = state._replace(max_radii2d=state.max_radii2d.at[1].set(50.0))
+        ostate = opt.init_adam(state.params)
+        s2, _, info = dz.densify_and_prune(
+            state, ostate, jax.random.PRNGKey(0), grad_threshold=1e9,
+            min_opacity=0.005, extent=1e9, max_screen_size=20,
+            percent_dense=0.01)
+        assert int(info.num_pruned) == 1
+        assert not bool(s2.live[1])
+
+    def test_capacity_overflow_drops(self):
+        state, _, _ = make_state(n=14, cap=16)
+        params = state.params._replace(log_scales=jnp.full((16, 3), -5.0))
+        state = state._replace(params=params)
+        state = self._stats(state, 1.0)
+        ostate = opt.init_adam(state.params)
+        s2, _, info = dz.densify_and_prune(
+            state, ostate, jax.random.PRNGKey(0), grad_threshold=0.5,
+            min_opacity=0.005, extent=100.0, max_screen_size=0,
+            percent_dense=0.01)
+        assert int(info.num_cloned) == 14
+        assert int(gm.num_live(s2)) == 16  # capped
+        assert int(info.num_dropped) == 12
+
+    def test_reset_opacity(self):
+        state, _, _ = make_state(n=4, cap=8)
+        ostate = opt.init_adam(state.params)
+        s2, o2 = dz.reset_opacity(state, ostate)
+        _, _, opac = gm.activated(s2.params)
+        np.testing.assert_allclose(np.asarray(opac)[:4], 0.01, atol=1e-5)
+
+    def test_max_radii_update(self):
+        state, _, _ = make_state(n=4, cap=8)
+        radii = jnp.zeros(8, jnp.int32).at[0].set(30)
+        vis = jnp.zeros(8, bool).at[0].set(True)
+        s2 = dz.update_max_radii(state, radii, vis)
+        assert float(s2.max_radii2d[0]) == 30.0
+        s3 = dz.update_max_radii(s2, jnp.full(8, 10, jnp.int32), vis)
+        assert float(s3.max_radii2d[0]) == 30.0  # max, not overwrite
+
+
+class TestPly:
+    def test_gaussian_roundtrip(self, tmp_path):
+        rng = np.random.RandomState(0)
+        n, k = 10, 15
+        args = (
+            rng.randn(n, 3).astype(np.float32),
+            rng.randn(n, 1, 3).astype(np.float32),
+            rng.randn(n, k, 3).astype(np.float32),
+            rng.randn(n, 1).astype(np.float32),
+            rng.randn(n, 3).astype(np.float32),
+            rng.randn(n, 4).astype(np.float32),
+        )
+        p = tmp_path / "point_cloud.ply"
+        ply.save_gaussian_ply(p, *args)
+        loaded = ply.load_gaussian_ply(p)
+        for a, b in zip(args, loaded):
+            np.testing.assert_array_equal(a, b)
+
+    def test_property_names_match_3dgs(self, tmp_path):
+        p = tmp_path / "x.ply"
+        ply.save_gaussian_ply(
+            p, np.zeros((1, 3), np.float32), np.zeros((1, 1, 3), np.float32),
+            np.zeros((1, 15, 3), np.float32), np.zeros((1, 1), np.float32),
+            np.zeros((1, 3), np.float32), np.zeros((1, 4), np.float32))
+        header = p.read_bytes().split(b"end_header")[0].decode()
+        for name in ["x", "nx", "f_dc_0", "f_rest_44", "opacity", "scale_2",
+                     "rot_3"]:
+            assert f"property float {name}" in header
+
+    def test_points_roundtrip(self, tmp_path):
+        xyz = np.random.RandomState(0).randn(7, 3).astype(np.float32)
+        cols = (np.random.RandomState(1).rand(7, 3) * 255).astype(np.uint8)
+        p = tmp_path / "input.ply"
+        ply.save_points_ply(p, xyz, cols)
+        xyz2, rgb = ply.load_points_ply(p)
+        np.testing.assert_array_equal(xyz, xyz2)
+        np.testing.assert_allclose(rgb, cols.astype(np.float32) / 255.0)

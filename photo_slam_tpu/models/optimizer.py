@@ -62,8 +62,13 @@ class AdamState(NamedTuple):
 
 
 def init_adam(params: GaussianParams) -> AdamState:
-    zeros = jax.tree.map(jnp.zeros_like, params)
-    return AdamState(m=zeros, v=zeros, step=jnp.zeros((), jnp.int32))
+    # m and v must be distinct buffers: the train step donates its inputs and
+    # XLA rejects donating the same buffer twice.
+    return AdamState(
+        m=jax.tree.map(jnp.zeros_like, params),
+        v=jax.tree.map(jnp.zeros_like, params),
+        step=jnp.zeros((), jnp.int32),
+    )
 
 
 def adam_step(

@@ -1,0 +1,127 @@
+"""Multi-chip scaling over a jax.sharding.Mesh.
+
+The reference is strictly single-GPU (SURVEY.md §2.6); this module is new
+capability, designed TPU-first: the natural SPMD axis for online GS mapping is
+the *view batch* — every chip renders and differentiates a different keyframe
+of the same (replicated) Gaussian map, and gradients reduce over ICI before
+the shared Adam step. One batched step therefore does B view-optimizations
+per iteration (the reference does 1), which is both a throughput multiplier
+and a gradient-noise reducer.
+
+  mesh axes:  ("dp",)  — data parallel over keyframes
+  params:     replicated
+  cams/gt:    sharded on the batch axis
+  loss/grads: psum over "dp" (inserted automatically by XLA through the
+              replicated-output sharding constraint)
+
+Densify/prune runs on the replicated state (identical on every chip — the
+PRNG key is replicated, so no divergence).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from photo_slam_tpu.models import densify as dz
+from photo_slam_tpu.models import gaussian_model as gm
+from photo_slam_tpu.models import optimizer as optim
+from photo_slam_tpu.ops import losses
+from photo_slam_tpu.ops.camera_math import CameraMatrices
+from photo_slam_tpu.ops.render import RenderSettings, render
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), axis_names=("dp",))
+
+
+def batched_loss(state: gm.GaussianState, cams: CameraMatrices,
+                 gt_images: jnp.ndarray, masks: jnp.ndarray,
+                 bg_color: jnp.ndarray, lambda_dssim: jnp.ndarray,
+                 settings: RenderSettings):
+    """Mean loss over a batch of views; returns aux per-view stats.
+
+    cams: CameraMatrices with leading batch dim on every leaf.
+    gt_images: [B, 3, H, W]; masks: [B, H, W].
+    """
+    live = state.live
+
+    def one_view(params, m2d_offset, cam, gt, mask):
+        scales, quats, opac = gm.activated(params)
+        shs = gm.sh_features(params)
+        res = render(params.xyz, scales, quats, opac, cam, settings, bg_color,
+                     shs=shs, live_mask=live, means2d_offset=m2d_offset)
+        masked = res.image * mask[None]
+        loss = (1.0 - lambda_dssim) * losses.l1_loss(masked, gt) + (
+            lambda_dssim * (1.0 - losses.ssim(masked, gt)))
+        return loss, (res.radii, res.visible)
+
+    def total(params, m2d_offset):
+        loss_b, aux = jax.vmap(
+            one_view, in_axes=(None, None, 0, 0, 0))(
+            params, m2d_offset, cams, gt_images, masks)
+        return jnp.mean(loss_b), aux
+
+    return total
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("settings",),
+    donate_argnames=("state", "opt_state"),
+)
+def train_step_batched(
+    state: gm.GaussianState,
+    opt_state: optim.AdamState,
+    cams: CameraMatrices,
+    gt_images: jnp.ndarray,
+    masks: jnp.ndarray,
+    lrs: optim.LearningRates,
+    bg_color: jnp.ndarray,
+    lambda_dssim: jnp.ndarray,
+    settings: RenderSettings,
+):
+    """One multi-view optimization step (B views, mean gradient)."""
+    total = batched_loss(state, cams, gt_images, masks, bg_color,
+                         lambda_dssim, settings)
+    offset0 = jnp.zeros((state.capacity, 2), jnp.float32)
+    (loss, (radii_b, visible_b)), (grads, g2d) = jax.value_and_grad(
+        total, argnums=(0, 1), has_aux=True)(state.params, offset0)
+
+    # Stats: a Gaussian is visible if visible in ANY view; radii take the max;
+    # the view-space grad accumulates the batch-mean like the loss gradient.
+    visible = jnp.any(visible_b, axis=0)
+    radii = jnp.max(radii_b, axis=0)
+    state = dz.update_max_radii(state, radii, visible)
+    state = dz.add_densification_stats(state, g2d, visible)
+
+    params, opt_state = optim.adam_step(state.params, grads, opt_state, lrs,
+                                        state.live)
+    state = state._replace(params=params)
+    return state, opt_state, {"loss": loss,
+                              "num_visible": jnp.sum(visible.astype(jnp.int32))}
+
+
+def shard_batch_args(mesh: Mesh, cams: CameraMatrices, gt_images, masks):
+    """Place batch-leading arrays on the mesh, sharded over 'dp'."""
+    batch_sharding = NamedSharding(mesh, P("dp"))
+
+    def put(x):
+        return jax.device_put(x, batch_sharding)
+
+    return (
+        jax.tree.map(put, cams),
+        put(gt_images),
+        put(masks),
+    )
+
+
+def replicate(mesh: Mesh, tree: Any) -> Any:
+    rep = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, rep), tree)

@@ -35,7 +35,7 @@ class RenderSettings(NamedTuple):
     max_tiles_per_gaussian: int = 64
     max_per_tile: int = 512
     tiles_per_chunk: int = 16
-    mode: str = "tiled"  # "tiled" | "dense"
+    mode: str = "tiled"  # "pallas" | "tiled" | "dense"
 
 
 class RenderResult(NamedTuple):
@@ -93,6 +93,17 @@ def render(
         out = dense_mod.render_dense(prep, opacities, settings.width,
                                      settings.height, bg_color)
         clipped, overflow = zero, zero
+    elif settings.mode == "pallas":
+        out, binning = tiled_mod.render_pallas(
+            prep,
+            opacities,
+            settings.width,
+            settings.height,
+            bg_color,
+            max_tiles_per_gaussian=settings.max_tiles_per_gaussian,
+            max_per_tile=settings.max_per_tile,
+        )
+        clipped, overflow = binning.num_clipped, binning.num_overflow
     else:
         out, binning = tiled_mod.render_tiled(
             prep,

@@ -126,6 +126,90 @@ def render_binned(
     )
 
 
+def render_pallas(
+    prep: Preprocessed,
+    opacities: jnp.ndarray,
+    width: int,
+    height: int,
+    bg_color: jnp.ndarray,
+    max_tiles_per_gaussian: int = 16,
+    max_per_tile: int = 1024,
+) -> tuple[RenderOutput, TileBinning]:
+    """Pallas-kernel blend path: bin at 32px tiles, pack entries, run the
+    fused per-tile kernel (ops/pallas/blend.py), assemble the image.
+
+    The [T, K, 16] entry gather is a single XLA gather whose transpose
+    (scatter-add) routes the kernel's per-entry gradients back to Gaussians —
+    the TPU answer to the reference backward's atomicAdd accumulation
+    (cuda_rasterizer/backward.cu:398-557).
+    """
+    from photo_slam_tpu.ops.pallas.blend import (
+        FEAT, PIX_LANE, PIX_SUB, TILE_PS, pallas_blend)
+
+    tile = TILE_PS
+    gx, gy = tile_grid(width, height, tile)
+    num_tiles = gx * gy
+
+    binning = bin_gaussians(
+        jax.lax.stop_gradient(prep.means2d),
+        jax.lax.stop_gradient(prep.depths),
+        prep.radii,
+        prep.visible,
+        width,
+        height,
+        tile=tile,
+        max_tiles_per_gaussian=max_tiles_per_gaussian,
+        max_per_tile=max_per_tile,
+    )
+
+    # Pack per-Gaussian features in depth order: [N, 16].
+    xy_s = prep.means2d[binning.order]
+    conic_s = prep.conics[binning.order]
+    rgb_s = prep.rgb[binning.order]
+    op_s = opacities[binning.order]
+    n = xy_s.shape[0]
+    feat = jnp.concatenate(
+        [
+            xy_s,
+            conic_s,
+            op_s[:, None],
+            rgb_s,
+            jnp.zeros((n, FEAT - 9), jnp.float32),
+        ],
+        axis=-1,
+    )
+
+    li = jnp.maximum(binning.tile_lists, 0)
+    data_tiles = feat[li]  # [T, K, 16]
+
+    color, final_t, n_contrib = pallas_blend(
+        data_tiles, binning.tile_counts, gx, num_tiles)
+
+    # [T, 3, 8, 128] -> image. Pixel p = r*32 + c, flattened as 8x128.
+    def tiles_to_image(x):
+        extra = x.shape[1:-2]
+        flat = x.reshape((num_tiles,) + extra + (tile, tile))
+        img = flat.reshape((gy, gx) + extra + (tile, tile))
+        # [gy, gx, ..., r, c] -> [..., gy, r, gx, c]
+        nex = len(extra)
+        perm = (
+            tuple(range(2, 2 + nex))        # extra dims first
+            + (0, 2 + nex, 1, 3 + nex)      # gy, r, gx, c
+        )
+        img = jnp.transpose(img, perm)
+        img = img.reshape(extra + (gy * tile, gx * tile))
+        return img[..., :height, :width]
+
+    image = tiles_to_image(color) + tiles_to_image(final_t)[None] * (
+        bg_color[:, None, None])
+    out = RenderOutput(
+        image=image,
+        final_T=tiles_to_image(final_t),
+        n_contrib=tiles_to_image(n_contrib),
+    )
+    return out, binning
+
+
 def render_tiled(
     prep: Preprocessed,
     opacities: jnp.ndarray,

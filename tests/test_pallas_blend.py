@@ -1,0 +1,133 @@
+"""Pallas blend kernel vs the jnp tiled renderer (interpret mode on CPU):
+forward images and hand-derived backward vs JAX-AD gradients."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from photo_slam_tpu.ops import preprocess as prep_mod
+from photo_slam_tpu.ops.camera_math import build_camera_matrices
+from photo_slam_tpu.ops.render import RenderSettings, render
+
+W, H = 64, 64  # 2x2 tiles of 32px
+FOVX = FOVY = 1.0
+
+
+def make_scene(n=60, seed=0):
+    rng = np.random.RandomState(seed)
+    means = np.stack([
+        rng.uniform(-2, 2, n), rng.uniform(-2, 2, n), rng.uniform(3, 8, n),
+    ], axis=1).astype(np.float32)
+    scales = rng.uniform(0.05, 0.2, (n, 3)).astype(np.float32)
+    quats = rng.randn(n, 4).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+    opac = rng.uniform(0.3, 0.95, n).astype(np.float32)
+    colors = rng.uniform(0.05, 0.95, (n, 3)).astype(np.float32)
+    return means, scales, quats, opac, colors
+
+
+def cam():
+    return build_camera_matrices(np.eye(3), np.zeros(3), 0.01, 100.0,
+                                 FOVX, FOVY)
+
+
+def settings(mode):
+    # tile=32 everywhere so the jnp and pallas paths bin identically (the
+    # pallas kernel's pixel block is fixed at 32x32).
+    return RenderSettings(width=W, height=H, tan_fovx=np.tan(FOVX / 2),
+                          tan_fovy=np.tan(FOVY / 2), mode=mode, tile=32,
+                          max_per_tile=128, max_tiles_per_gaussian=16,
+                          tiles_per_chunk=2)
+
+
+class TestPallasForward:
+    def test_matches_tiled(self):
+        means, scales, quats, opac, colors = make_scene()
+        c = cam()
+        args = (jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+                jnp.asarray(opac))
+        res_p = render(*args, c, settings("pallas"), jnp.zeros(3),
+                       colors_precomp=jnp.asarray(colors))
+        res_t = render(*args, c, settings("tiled"), jnp.zeros(3),
+                       colors_precomp=jnp.asarray(colors))
+        np.testing.assert_allclose(np.asarray(res_p.image),
+                                   np.asarray(res_t.image), atol=3e-3)
+        np.testing.assert_allclose(np.asarray(res_p.final_T),
+                                   np.asarray(res_t.final_T), atol=3e-3)
+
+    def test_background(self):
+        means, scales, quats, opac, colors = make_scene(n=5)
+        c = cam()
+        bg = jnp.array([0.2, 0.4, 0.8])
+        res = render(jnp.asarray(means), jnp.asarray(scales),
+                     jnp.asarray(quats), jnp.asarray(opac), c,
+                     settings("pallas"), bg,
+                     colors_precomp=jnp.asarray(colors))
+        img = np.asarray(res.image)
+        ft = np.asarray(res.final_T)
+        # Where nothing rendered, the image equals the background.
+        empty = ft > 0.999
+        if empty.any():
+            for ch in range(3):
+                np.testing.assert_allclose(img[ch][empty], float(bg[ch]),
+                                           atol=1e-4)
+
+    def test_empty_scene(self):
+        means, scales, quats, opac, colors = make_scene(n=4)
+        c = cam()
+        live = jnp.zeros(4, bool)
+        res = render(jnp.asarray(means), jnp.asarray(scales),
+                     jnp.asarray(quats), jnp.asarray(opac), c,
+                     settings("pallas"), jnp.zeros(3),
+                     colors_precomp=jnp.asarray(colors), live_mask=live)
+        np.testing.assert_allclose(np.asarray(res.image), 0.0, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(res.final_T), 1.0)
+
+
+class TestPallasBackward:
+    def _grad(self, mode, wrt="all"):
+        means, scales, quats, opac, colors = make_scene()
+        c = cam()
+        gt = jax.random.uniform(jax.random.PRNGKey(7), (3, H, W))
+
+        def loss_fn(m, s, q, o, col, offset):
+            res = render(m, s, q, o, c, settings(mode), jnp.zeros(3),
+                         colors_precomp=col, means2d_offset=offset)
+            return jnp.mean((res.image - gt) ** 2)
+
+        n = means.shape[0]
+        return jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4, 5))(
+            jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+            jnp.asarray(opac), jnp.asarray(colors), jnp.zeros((n, 2)))
+
+    def test_grads_match_tiled(self):
+        g_p = self._grad("pallas")
+        g_t = self._grad("tiled")
+        names = ["means3d", "scales", "quats", "opacity", "colors",
+                 "means2d_offset"]
+        for name, a, b in zip(names, g_p, g_t):
+            a, b = np.asarray(a), np.asarray(b)
+            assert np.isfinite(a).all(), f"{name}: non-finite pallas grad"
+            scale = np.abs(b).max() + 1e-8
+            np.testing.assert_allclose(
+                a / scale, b / scale, atol=2e-3,
+                err_msg=f"gradient mismatch for {name}")
+            assert np.abs(a).max() > 0, f"{name}: zero pallas grad"
+
+    def test_nonzero_bg_grad_path(self):
+        """final_T cotangent (background term) must flow correctly."""
+        means, scales, quats, opac, colors = make_scene(n=20)
+        c = cam()
+        bg = jnp.array([1.0, 1.0, 1.0])
+
+        def loss_fn(o, mode):
+            res = render(jnp.asarray(means), jnp.asarray(scales),
+                         jnp.asarray(quats), o, c, settings(mode), bg,
+                         colors_precomp=jnp.asarray(colors))
+            return jnp.mean(res.image)
+
+        g_p = jax.grad(lambda o: loss_fn(o, "pallas"))(jnp.asarray(opac))
+        g_t = jax.grad(lambda o: loss_fn(o, "tiled"))(jnp.asarray(opac))
+        scale = np.abs(np.asarray(g_t)).max() + 1e-8
+        np.testing.assert_allclose(np.asarray(g_p) / scale,
+                                   np.asarray(g_t) / scale, atol=2e-3)

@@ -30,20 +30,49 @@ def main():
     from photo_slam_tpu.ops.camera_math import build_camera_matrices
     from photo_slam_tpu.ops.render import RenderSettings, render
 
-    n = 200_000
+    n = 300_000
     width, height = 1200, 680
     fovx = 1.2
     rng = np.random.RandomState(0)
 
-    # Room-scale cloud: points spread through the frustum with distance-scaled
-    # extents so screen-space radii look like a converged map (a few px).
-    z = rng.uniform(1.5, 12.0, n)
-    x = rng.uniform(-0.9, 0.9, n) * z * np.tan(fovx / 2)
-    y = rng.uniform(-0.9, 0.9, n) * z * np.tan(fovx / 2) * height / width
-    pts = np.stack([x, y, z], 1).astype(np.float32)
+    # Room-scale SURFACE cloud (like a converged Replica map): points sampled
+    # on the walls/floor/ceiling of an 8x6x3 m room plus two spheres, camera
+    # inside looking forward. Surfaces give realistic per-pixel depth
+    # complexity (~tens of overlapping splats, not hundreds).
+    def sample_box(m):
+        w, h, d = 8.0, 3.0, 12.0  # x extent, y extent, z depth
+        faces = []
+        per = m // 5
+        # left/right walls
+        for sx in (-w / 2, w / 2):
+            faces.append(np.stack([
+                np.full(per, sx), rng.uniform(-h / 2, h / 2, per),
+                rng.uniform(0.2, d, per)], 1))
+        # floor / ceiling
+        for sy in (-h / 2, h / 2):
+            faces.append(np.stack([
+                rng.uniform(-w / 2, w / 2, per),
+                np.full(per, sy), rng.uniform(0.2, d, per)], 1))
+        # back wall
+        faces.append(np.stack([
+            rng.uniform(-w / 2, w / 2, m - 4 * per),
+            rng.uniform(-h / 2, h / 2, m - 4 * per),
+            np.full(m - 4 * per, d)], 1))
+        return np.concatenate(faces)
+
+    def sample_sphere(m, center, radius):
+        v = rng.randn(m, 3)
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        return center + radius * v
+
+    pts = np.concatenate([
+        sample_box(n - 60_000),
+        sample_sphere(30_000, np.array([-1.0, -0.7, 4.0]), 0.8),
+        sample_sphere(30_000, np.array([1.5, 0.2, 6.5]), 1.1),
+    ]).astype(np.float32)
     cols = rng.rand(n, 3).astype(np.float32)
 
-    cap = gm.round_capacity(n, minimum=n)
+    cap = n  # serving-style render: exact capacity, no growth headroom
     state = gm.create_from_pcd(pts, cols, sh_degree=3, capacity=cap)
     # Scale init via KNN gives realistic on-screen footprints.
 
@@ -54,9 +83,9 @@ def main():
         tan_fovx=float(np.tan(fovx / 2)),
         tan_fovy=float(np.tan(fovx / 2) * height / width),
         sh_degree=3,
-        max_tiles_per_gaussian=16,
+        mode="pallas",
+        max_tiles_per_gaussian=12,
         max_per_tile=1024,
-        tiles_per_chunk=32,
     )
     bg = jnp.zeros(3)
 
@@ -82,7 +111,7 @@ def main():
         img, _, _ = forward(state.params, state.live)
     img.block_until_ready()
 
-    iters = 20
+    iters = 30
     t0 = time.time()
     for _ in range(iters):
         img, _, _ = forward(state.params, state.live)
@@ -93,7 +122,7 @@ def main():
         f"({1000 * dt / iters:.1f} ms/frame)")
 
     print(json.dumps({
-        "metric": "render_fps_1200x680_200k",
+        "metric": "render_fps_1200x680_300k",
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / 30.0, 3),

@@ -6,13 +6,18 @@ radix sort of (tileID | depth) keys + range extraction
 dynamic allocation (num_rendered is data-dependent) and a device radix sort —
 neither is TPU-idiomatic. Here the same result is produced with static shapes:
 
-  1. argsort Gaussians by view depth once (N keys, cheap XLA sort);
-  2. expand each Gaussian to at most MAX_TILES_PER_GAUSSIAN tile slots from
+  1. expand each Gaussian to at most MAX_TILES_PER_GAUSSIAN tile slots from
      its screen rect (radius clamped so the rect fits; clips are counted);
-  3. ONE stable single-key sort of the N*K slot array by tile id — stability
-     preserves the depth order within each tile, so no depth key is needed;
-  4. per-tile ranges by binary search, then a static [num_tiles, K_MAX]
-     gather (per-tile overflow beyond K_MAX is dropped and counted).
+  2. pack (tile_id, depth) into ONE int32 key per slot — positive IEEE-754
+     floats compare monotonically as integers, so the top bits of the depth's
+     bit pattern ARE a depth order (the reference packs tileID|float-bits
+     into 64-bit keys for its radix sort, rasterizer_impl.cu:70-111; here 31
+     bits suffice because only a quantized depth orders *within* a tile);
+  3. ONE unstable single-key sort of the N*K keys with the original Gaussian
+     index as payload;
+  4. per-tile ranges by binary search over key boundaries, then a static
+     [num_tiles, K_MAX] gather (per-tile overflow beyond K_MAX is dropped
+     and counted).
 
 The overflow/clip counters are surfaced so callers can grow capacities.
 """
@@ -29,14 +34,13 @@ TILE = 16  # tile edge in pixels (reference: cuda_rasterizer/config.h BLOCK_X/Y)
 class TileBinning(NamedTuple):
     """Static-shape binning result.
 
-    order:       [N] int32 — Gaussian index sorted front-to-back by depth
-    tile_lists:  [T, K_MAX] int32 — per tile, ranks into `order` (depth order)
+    tile_lists:  [T, K_MAX] int32 — per tile, ORIGINAL Gaussian indices in
+                 front-to-back depth order (-1 past the count)
     tile_counts: [T] int32 — valid entries per tile (<= K_MAX)
     num_clipped: [] int32 — Gaussians whose rect was clipped to fit K_dup
     num_overflow:[] int32 — per-tile entries dropped beyond K_MAX
     """
 
-    order: jnp.ndarray
     tile_lists: jnp.ndarray
     tile_counts: jnp.ndarray
     num_clipped: jnp.ndarray
@@ -81,12 +85,14 @@ def bin_gaussians(
     gx, gy = tile_grid(width, height, tile)
     num_tiles = gx * gy
     k_dup = max_tiles_per_gaussian
+    # Bits available for the in-key depth code (tile ids occupy the top).
+    depth_bits = 31 - max(1, (num_tiles + 1)).bit_length()
+    if depth_bits < 12:
+        raise ValueError(f"too many tiles ({num_tiles}) for packed keys")
 
-    # 1. Depth order over visible Gaussians (invisible sink to the end).
-    order = jnp.argsort(jnp.where(visible, depths, jnp.inf)).astype(jnp.int32)
-    xy_s = means2d[order]
-    radii_s = radii[order]
-    vis_s = visible[order]
+    xy_s = means2d
+    radii_s = radii
+    vis_s = visible
 
     x0, y0, x1, y1 = compute_rects(xy_s, radii_s, width, height, tile)
     rw = x1 - x0
@@ -122,39 +128,55 @@ def bin_gaussians(
     area_f = rw_f * (y1c - y0c)
     area_f = jnp.where(vis_s & (area > 0), area_f, 0)
 
-    # 3. Emit tile ids for each (gaussian, slot) pair; sentinel for invalid.
+    # 3. Emit ONE packed key per (gaussian, slot): [tile_id | depth_code].
+    #    Positive IEEE floats are monotone as integers, so the top bits of
+    #    the depth bit-pattern order by depth within each tile (the TPU-sized
+    #    version of the reference's tileID<<32|float-bits 64-bit radix keys,
+    #    rasterizer_impl.cu:70-111).
+    depth_code = jax.lax.shift_right_logical(
+        jax.lax.bitcast_convert_type(jnp.maximum(depths, 0.0), jnp.int32),
+        31 - depth_bits,
+    )
     slots = jnp.arange(k_dup, dtype=jnp.int32)
     sx = x0c[:, None] + slots[None, :] % jnp.maximum(rw_f, 1)[:, None]
     sy = y0c[:, None] + slots[None, :] // jnp.maximum(rw_f, 1)[:, None]
     valid = slots[None, :] < area_f[:, None]
-    tile_ids = jnp.where(valid, sy * gx + sx, num_tiles).astype(jnp.int32)
-
-    ranks = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[:, None], (n, k_dup)
-    )
-    flat_ids = tile_ids.reshape(-1)
-    flat_ranks = ranks.reshape(-1)
-
-    # 4. ONE stable sort by tile id (depth order preserved within each tile).
-    sorted_ids, sorted_ranks = jax.lax.sort(
-        (flat_ids, flat_ranks), num_keys=1, is_stable=True
+    tile_ids = (sy * gx + sx).astype(jnp.int32)
+    sentinel = jnp.int32(num_tiles) << depth_bits
+    keys = jnp.where(
+        valid,
+        (tile_ids << depth_bits) | depth_code[:, None],
+        sentinel,
     )
 
-    starts = jnp.searchsorted(sorted_ids, jnp.arange(num_tiles, dtype=jnp.int32),
-                              side="left").astype(jnp.int32)
-    ends = jnp.searchsorted(sorted_ids, jnp.arange(num_tiles, dtype=jnp.int32),
-                            side="right").astype(jnp.int32)
-    counts = ends - starts
+    origs = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None], (n, k_dup))
+    flat_keys = keys.reshape(-1)
+    flat_origs = origs.reshape(-1)
+
+    # 4. ONE unstable sort (depth lives in the key; ties at the key's depth
+    #    resolution are order-irrelevant).
+    sorted_keys, sorted_origs = jax.lax.sort(
+        (flat_keys, flat_origs), num_keys=1, is_stable=False
+    )
+
+    # Single binary search over tile boundaries: starts[t+1] == ends[t].
+    bounds = jnp.searchsorted(
+        sorted_keys,
+        jnp.arange(num_tiles + 1, dtype=jnp.int32) << depth_bits,
+        side="left",
+    ).astype(jnp.int32)
+    starts = bounds[:-1]
+    counts = bounds[1:] - starts
     num_overflow = jnp.sum(jnp.maximum(counts - max_per_tile, 0))
     tile_counts = jnp.minimum(counts, max_per_tile)
 
     idx = starts[:, None] + jnp.arange(max_per_tile, dtype=jnp.int32)[None, :]
     in_range = jnp.arange(max_per_tile, dtype=jnp.int32)[None, :] < tile_counts[:, None]
-    idx = jnp.clip(idx, 0, flat_ranks.shape[0] - 1)
-    tile_lists = jnp.where(in_range, sorted_ranks[idx], -1)
+    idx = jnp.clip(idx, 0, flat_origs.shape[0] - 1)
+    tile_lists = jnp.where(in_range, sorted_origs[idx], -1)
 
     return TileBinning(
-        order=order,
         tile_lists=tile_lists,
         tile_counts=tile_counts,
         num_clipped=num_clipped,

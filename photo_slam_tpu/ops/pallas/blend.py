@@ -72,14 +72,9 @@ def _fwd_kernel(counts_ref, tiles_x_ref, data_ref, color_ref, t_ref, n_ref):
             jnp.zeros((PIX_SUB, PIX_LANE), jnp.int32),    # n_contrib
             jnp.ones((PIX_SUB, PIX_LANE), jnp.float32))   # alive mask
 
-    def gaussian_step(k, carry):
+    def gaussian_step(d, k, carry):
         cr, cg, cb, T, nc, alive_f = carry
         alive = alive_f > 0.0
-        # Dynamic-index REF load of one packed row (stays a VMEM load for
-        # Mosaic; indexing a materialized array would be an unsupported
-        # dynamic_slice). Clamp: the chunked loop may overrun count by up to
-        # EXIT_CHECK-1; those lanes are masked off via (k < count).
-        d = data_ref[0, jnp.minimum(k, data_ref.shape[1] - 1)]
         dx = d[0] - px
         dy = d[1] - py
         power = -0.5 * (d[2] * dx * dx + d[4] * dy * dy) - d[3] * dx * dy
@@ -106,11 +101,14 @@ def _fwd_kernel(counts_ref, tiles_x_ref, data_ref, color_ref, t_ref, n_ref):
 
     def chunk_body(state):
         k0, carry = state
-
-        def inner(i, c):
-            return gaussian_step(k0 + i, c)
-
-        carry = jax.lax.fori_loop(0, EXIT_CHECK, inner, carry)
+        # One aligned [EXIT_CHECK, 16] group load per chunk (k0 stays a
+        # multiple of EXIT_CHECK, which keeps sublane alignment), then a
+        # statically unrolled pass over its rows — this is the analog of the
+        # CUDA kernel's cooperative shared-memory batch fetch
+        # (cuda_rasterizer/forward.cu:313-322).
+        rows = data_ref[0, pl.ds(k0, EXIT_CHECK)]
+        for i in range(EXIT_CHECK):
+            carry = gaussian_step(rows[i], k0 + i, carry)
         return k0 + EXIT_CHECK, carry
 
     _, (cr, cg, cb, T, nc, _) = jax.lax.while_loop(
@@ -153,14 +151,14 @@ def _bwd_kernel(counts_ref, tiles_x_ref, data_ref, final_t_ref, n_ref,
     # Carry: T (behind-reconstruction), B accumulators per channel.
     init = (T_final, zero, zero, zero)
 
-    def gaussian_step(k, carry):
+    def gaussian_step(d, k, carry):
         T_behind, Br, Bg, Bb = carry
-        d = data_ref[0, k]
         dx = d[0] - px
         dy = d[1] - py
         power = -0.5 * (d[2] * dx * dx + d[4] * dy * dy) - d[3] * dx * dy
         alpha = jnp.minimum(ALPHA_MAX, d[5] * jnp.exp(power))
-        valid = (power <= 0.0) & (alpha >= ALPHA_MIN) & (k < n_contrib)
+        valid = (power <= 0.0) & (alpha >= ALPHA_MIN) & (k < n_contrib) & (
+            k < count)
         one_minus = jnp.maximum(1.0 - alpha, 0.01)  # alpha <= 0.99
         T_k = jnp.where(valid, T_behind / one_minus, T_behind)
 
@@ -192,7 +190,7 @@ def _bwd_kernel(counts_ref, tiles_x_ref, data_ref, final_t_ref, n_ref,
         dL_dmx = dL_dpower * (-(d[2] * dx + d[3] * dy))
         dL_dmy = dL_dpower * (-(d[4] * dy + d[3] * dx))
 
-        # Reduce over pixels, write one gradient row.
+        # Reduce over pixels into one gradient row.
         row = jnp.stack([
             jnp.sum(dL_dmx), jnp.sum(dL_dmy),
             jnp.sum(dL_dA), jnp.sum(dL_dB), jnp.sum(dL_dC),
@@ -200,18 +198,27 @@ def _bwd_kernel(counts_ref, tiles_x_ref, data_ref, final_t_ref, n_ref,
             jnp.sum(dL_dck[0]), jnp.sum(dL_dck[1]), jnp.sum(dL_dck[2]),
             0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
         ])
-        d_data_ref[0, k] = row
 
         Br = Br + jnp.where(valid, alpha * T_k * d[6], 0.0)
         Bg = Bg + jnp.where(valid, alpha * T_k * d[7], 0.0)
         Bb = Bb + jnp.where(valid, alpha * T_k * d[8], 0.0)
-        return T_k, Br, Bg, Bb
+        return row, (T_k, Br, Bg, Bb)
 
-    def body(i, carry):
-        k = count - 1 - i
-        return gaussian_step(k, carry)
+    # Back-to-front in aligned groups of EXIT_CHECK: one [G, 16] load and one
+    # [G, 16] gradient store per group (the store pattern replaces the CUDA
+    # backward's per-Gaussian atomicAdd, backward.cu:398-557).
+    num_groups = (count + EXIT_CHECK - 1) // EXIT_CHECK
 
-    jax.lax.fori_loop(0, count, body, init)
+    def group_body(gi, carry):
+        k0 = (num_groups - 1 - gi) * EXIT_CHECK
+        rows = data_ref[0, pl.ds(k0, EXIT_CHECK)]
+        grad_rows = [None] * EXIT_CHECK
+        for i in reversed(range(EXIT_CHECK)):
+            grad_rows[i], carry = gaussian_step(rows[i], k0 + i, carry)
+        d_data_ref[0, pl.ds(k0, EXIT_CHECK)] = jnp.stack(grad_rows)
+        return carry
+
+    jax.lax.fori_loop(0, num_groups, group_body, init)
 
 
 def _use_interpret() -> bool:
@@ -330,7 +337,13 @@ def _bwd_rule(tiles_x, num_tiles, residuals, cotangents):
 
     data_tiles, counts, final_t, n_contrib = residuals
     g_color, g_t, _g_n = cotangents
-    d_data = _blend_bwd_call(data_tiles, counts, final_t, n_contrib,
+    # Entries past the last contributor of any pixel in the tile have zero
+    # gradient — bound the backward traversal by the tile's max n_contrib
+    # (the reference starts each pixel at its own n_contrib,
+    # backward.cu:418-427; saturated tiles skip most of the list).
+    nc_max = jnp.max(n_contrib.reshape(num_tiles, -1), axis=-1)
+    counts_eff = jnp.minimum(counts, nc_max).astype(jnp.int32)
+    d_data = _blend_bwd_call(data_tiles, counts_eff, final_t, n_contrib,
                              g_color, g_t, tiles_x, num_tiles)
     # counts is integer-typed: its cotangent is the symbolic float0 zero.
     return d_data, np.zeros(counts.shape, dtype=jax.dtypes.float0)

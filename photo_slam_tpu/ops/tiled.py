@@ -69,11 +69,11 @@ def render_binned(
     num_tiles = gx * gy
     p = tile * tile
 
-    # Depth-sorted per-Gaussian data (binning.order indexes original arrays).
-    xy_s = prep.means2d[binning.order]
-    conic_s = prep.conics[binning.order]
-    rgb_s = prep.rgb[binning.order]
-    op_s = opacities[binning.order]
+    # tile_lists carry ORIGINAL Gaussian indices in per-tile depth order.
+    xy_s = prep.means2d
+    conic_s = prep.conics
+    rgb_s = prep.rgb
+    op_s = opacities
 
     # Pad tile axis to a multiple of the chunk size.
     num_chunks = -(-num_tiles // tiles_per_chunk)
@@ -162,18 +162,15 @@ def render_pallas(
         max_per_tile=max_per_tile,
     )
 
-    # Pack per-Gaussian features in depth order: [N, 16].
-    xy_s = prep.means2d[binning.order]
-    conic_s = prep.conics[binning.order]
-    rgb_s = prep.rgb[binning.order]
-    op_s = opacities[binning.order]
-    n = xy_s.shape[0]
+    # Pack per-Gaussian features (original order — tile_lists carry original
+    # indices in depth order): [N, 16].
+    n = prep.means2d.shape[0]
     feat = jnp.concatenate(
         [
-            xy_s,
-            conic_s,
-            op_s[:, None],
-            rgb_s,
+            prep.means2d,
+            prep.conics,
+            opacities[:, None],
+            prep.rgb,
             jnp.zeros((n, FEAT - 9), jnp.float32),
         ],
         axis=-1,

@@ -1,0 +1,168 @@
+"""Shared online-SLAM app driver + per-dataset CLI entry points.
+
+These mirror the reference example mains (reference: examples/replica_rgbd.cpp,
+tum_rgbd.cpp, tum_mono.cpp, euroc_stereo.cpp): load a sequence, run the
+tracker thread and the Gaussian mapper concurrently, save trajectories,
+per-keyframe metrics and the final map.
+
+The frontend here is the ground-truth-pose tracker (datasets ship GT
+trajectories); a live feature-based tracker plugs in through the same
+MappingOperation queue.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import threading
+import time
+from pathlib import Path
+
+import numpy as np
+
+from photo_slam_tpu.config import Config, load_reference_yaml
+from photo_slam_tpu.mapper.mapper import GaussianMapper, SensorType
+from photo_slam_tpu.tracking.gt_tracker import GroundTruthTracker
+from photo_slam_tpu.utils.math import se3_inverse, se3_matrix
+
+
+def save_trajectory_tum(path, keyframes) -> None:
+    """Camera trajectory in TUM format: t tx ty tz qx qy qz qw (camera-to-
+    world), the format the reference's trajectory savers emit for evaluation
+    (reference: ORB-SLAM3/src/System.cc SaveTrajectoryTUM)."""
+    lines = []
+    for fid, kf in sorted(keyframes.items()):
+        twc = se3_inverse(se3_matrix(kf.quat, kf.trans))
+        from photo_slam_tpu.utils.math import rotmat_to_quat
+        import jax.numpy as jnp
+        q = np.asarray(rotmat_to_quat(jnp.asarray(twc[:3, :3])))
+        t = twc[:3, 3]
+        lines.append(f"{fid} {t[0]:.6f} {t[1]:.6f} {t[2]:.6f} "
+                     f"{q[1]:.6f} {q[2]:.6f} {q[3]:.6f} {q[0]:.6f}")
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    Path(path).write_text("\n".join(lines) + "\n")
+
+
+def run_online(dataset, sensor: SensorType, cfg: Config, out_dir,
+               keyframe_every: int = 10, num_keypoints: int = 800,
+               max_iterations=None, threaded: bool = True) -> GaussianMapper:
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    mapper = GaussianMapper(cfg, sensor, result_dir=out)
+    mapper.add_camera(dataset.camera)
+    tracker = GroundTruthTracker(dataset.camera,
+                                 keyframe_every=keyframe_every,
+                                 num_keypoints=num_keypoints)
+
+    t0 = time.time()
+    if threaded:
+        # Tracker runs in its own thread like the reference's main/tracking
+        # thread vs the mapper thread (reference: examples/replica_rgbd.cpp:112).
+        th = threading.Thread(
+            target=tracker.run, args=(dataset.frames(), mapper.queue.push),
+            daemon=True)
+        th.start()
+        mapper.run(is_tracker_done=lambda: tracker.done,
+                   live_kf_ids=lambda: tracker.live_kf_ids,
+                   max_iterations=max_iterations)
+        th.join()
+    else:
+        tracker.run(dataset.frames(), mapper.queue.push)
+        mapper.run(is_tracker_done=lambda: True,
+                   live_kf_ids=lambda: tracker.live_kf_ids,
+                   max_iterations=max_iterations)
+    wall = time.time() - t0
+
+    save_trajectory_tum(out / "CameraTrajectory_TUM.txt",
+                        mapper.scene.keyframes)
+    (out / "run_summary.json").write_text(json.dumps({
+        "wall_seconds": wall,
+        "iterations": mapper.trainer.iteration,
+        "iters_per_sec": mapper.trainer.iteration / max(wall, 1e-9),
+        "num_keyframes": len(mapper.scene.keyframes),
+        "num_gaussians": mapper.trainer.metrics.num_live,
+        "ema_loss": mapper.trainer.ema_loss,
+    }, indent=2))
+    print(f"[online_slam] {mapper.trainer.iteration} iters, "
+          f"{len(mapper.scene.keyframes)} kfs, "
+          f"{mapper.trainer.metrics.num_live} gaussians, "
+          f"{wall:.1f}s -> {out}")
+    return mapper
+
+
+def _common_parser():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", required=True, help="sequence directory")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--cfg", default=None, help="gaussian_mapper yaml")
+    ap.add_argument("--iters", type=int, default=None)
+    ap.add_argument("--keyframe-every", type=int, default=10)
+    return ap
+
+
+def replica_rgbd(argv=None):
+    from photo_slam_tpu.io.datasets import ReplicaDataset
+    args = _common_parser().parse_args(argv)
+    cfg = load_reference_yaml(args.cfg) if args.cfg else Config()
+    ds = ReplicaDataset(args.data)
+    return run_online(ds, SensorType.RGBD, cfg, args.out,
+                      keyframe_every=args.keyframe_every,
+                      max_iterations=args.iters)
+
+
+def replica_mono(argv=None):
+    from photo_slam_tpu.io.datasets import ReplicaDataset
+    args = _common_parser().parse_args(argv)
+    cfg = load_reference_yaml(args.cfg) if args.cfg else Config()
+    ds = ReplicaDataset(args.data, load_depth_maps=True)
+    # Monocular: the tracker still triangulates sparse keypoints (from GT
+    # depth, standing in for ORB triangulation) but the mapper runs the
+    # monocular densification path.
+    return run_online(ds, SensorType.MONOCULAR, cfg, args.out,
+                      keyframe_every=args.keyframe_every,
+                      max_iterations=args.iters)
+
+
+def tum_rgbd(argv=None):
+    from photo_slam_tpu.io.datasets import TumDataset
+    from photo_slam_tpu.models.camera import PINHOLE, Camera
+    ap = _common_parser()
+    ap.add_argument("--fx", type=float, default=517.3)
+    ap.add_argument("--fy", type=float, default=516.5)
+    ap.add_argument("--cx", type=float, default=318.6)
+    ap.add_argument("--cy", type=float, default=255.3)
+    ap.add_argument("--width", type=int, default=640)
+    ap.add_argument("--height", type=int, default=480)
+    args = ap.parse_args(argv)
+    cfg = load_reference_yaml(args.cfg) if args.cfg else Config()
+    cam = Camera(camera_id=0, model_id=PINHOLE, width=args.width,
+                 height=args.height, fx=args.fx, fy=args.fy, cx=args.cx,
+                 cy=args.cy)
+    ds = TumDataset(args.data, cam)
+    return run_online(ds, SensorType.RGBD, cfg, args.out,
+                      keyframe_every=args.keyframe_every,
+                      max_iterations=args.iters)
+
+
+def euroc_stereo(argv=None):
+    from photo_slam_tpu.io.datasets import EurocDataset
+    from photo_slam_tpu.models.camera import PINHOLE, Camera
+    ap = _common_parser()
+    ap.add_argument("--bf", type=float, default=47.9)  # baseline * fx
+    args = ap.parse_args(argv)
+    cfg = load_reference_yaml(args.cfg) if args.cfg else Config()
+    cam = Camera(camera_id=0, model_id=PINHOLE, width=752, height=480,
+                 fx=458.654, fy=457.296, cx=367.215, cy=248.375,
+                 stereo_bf=args.bf)
+    ds = EurocDataset(args.data, cam)
+    return run_online(ds, SensorType.STEREO, cfg, args.out,
+                      keyframe_every=args.keyframe_every,
+                      max_iterations=args.iters)
+
+
+if __name__ == "__main__":
+    import sys
+
+    entry = sys.argv[1] if len(sys.argv) > 1 else "replica_rgbd"
+    fn = {"replica_rgbd": replica_rgbd, "replica_mono": replica_mono,
+          "tum_rgbd": tum_rgbd, "euroc_stereo": euroc_stereo}[entry]
+    fn(sys.argv[2:])

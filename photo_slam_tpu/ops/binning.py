@@ -34,8 +34,12 @@ TILE = 16  # tile edge in pixels (reference: cuda_rasterizer/config.h BLOCK_X/Y)
 class TileBinning(NamedTuple):
     """Static-shape binning result.
 
-    tile_lists:  [T, K_MAX] int32 — per tile, ORIGINAL Gaussian indices in
-                 front-to-back depth order (-1 past the count)
+    tile_lists:  [T, K_MAX] int32 — per tile, ENTRY ids in front-to-back
+                 depth order (-1 past the count). An entry id is
+                 gaussian_index * k_dup + slot; entry ids are UNIQUE across
+                 all tiles, which lets the render backward scatter per-entry
+                 gradients without collisions (see ops/tiled.entry_gather).
+                 Gaussian index = entry_id // k_dup.
     tile_counts: [T] int32 — valid entries per tile (<= K_MAX)
     num_clipped: [] int32 — Gaussians whose rect was clipped to fit K_dup
     num_overflow:[] int32 — per-tile entries dropped beyond K_MAX
@@ -45,6 +49,13 @@ class TileBinning(NamedTuple):
     tile_counts: jnp.ndarray
     num_clipped: jnp.ndarray
     num_overflow: jnp.ndarray
+    # The raw sort products, kept for the scatter-free render backward
+    # (ops/tiled.entry_gather): sorted_entries [N*k_dup] is the permutation
+    # of all entry ids by (tile, depth) key; sorted_tiles [N*k_dup] the tile
+    # id at each sorted position; starts [T] the per-tile offsets.
+    sorted_entries: jnp.ndarray
+    sorted_tiles: jnp.ndarray
+    starts: jnp.ndarray
 
 
 def tile_grid(width: int, height: int, tile: int = TILE) -> tuple[int, int]:
@@ -149,15 +160,14 @@ def bin_gaussians(
         sentinel,
     )
 
-    origs = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[:, None], (n, k_dup))
+    # Payload = flat ENTRY id (gaussian * k_dup + slot) — unique per entry.
     flat_keys = keys.reshape(-1)
-    flat_origs = origs.reshape(-1)
+    flat_entries = jnp.arange(n * k_dup, dtype=jnp.int32)
 
     # 4. ONE unstable sort (depth lives in the key; ties at the key's depth
     #    resolution are order-irrelevant).
-    sorted_keys, sorted_origs = jax.lax.sort(
-        (flat_keys, flat_origs), num_keys=1, is_stable=False
+    sorted_keys, sorted_entries = jax.lax.sort(
+        (flat_keys, flat_entries), num_keys=1, is_stable=False
     )
 
     # Single binary search over tile boundaries: starts[t+1] == ends[t].
@@ -173,12 +183,16 @@ def bin_gaussians(
 
     idx = starts[:, None] + jnp.arange(max_per_tile, dtype=jnp.int32)[None, :]
     in_range = jnp.arange(max_per_tile, dtype=jnp.int32)[None, :] < tile_counts[:, None]
-    idx = jnp.clip(idx, 0, flat_origs.shape[0] - 1)
-    tile_lists = jnp.where(in_range, sorted_origs[idx], -1)
+    idx = jnp.clip(idx, 0, flat_entries.shape[0] - 1)
+    tile_lists = jnp.where(in_range, sorted_entries[idx], -1)
 
     return TileBinning(
         tile_lists=tile_lists,
         tile_counts=tile_counts,
         num_clipped=num_clipped,
         num_overflow=num_overflow,
+        sorted_entries=sorted_entries,
+        sorted_tiles=jax.lax.shift_right_logical(
+            sorted_keys, depth_bits).astype(jnp.int32),
+        starts=starts,
     )

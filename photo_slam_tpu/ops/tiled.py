@@ -26,6 +26,65 @@ from photo_slam_tpu.ops.dense import ALPHA_MAX, ALPHA_MIN, T_EPS, RenderOutput
 from photo_slam_tpu.ops.preprocess import Preprocessed
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def entry_gather(feat: jnp.ndarray, entry_lists: jnp.ndarray,
+                 sorted_entries: jnp.ndarray, sorted_tiles: jnp.ndarray,
+                 starts: jnp.ndarray, tile_counts: jnp.ndarray, k_dup: int):
+    """Gather per-Gaussian rows by ENTRY id with a scatter-free transpose.
+
+    entry_lists hold unique entry ids (gaussian * k_dup + slot, -1 invalid).
+    The naive VJP of feat[lists // k_dup] is a scatter-add, which XLA
+    serializes on TPU (~90 ms/frame at Replica scale) even with unique
+    indices. Instead, the transpose inverts the binning permutation with pure
+    gathers — no scatter, no search:
+
+      inv  = argsort(sorted_entries)      # entry id -> sorted position
+      t    = sorted_tiles[inv]            # its tile (precomputed in binning)
+      k    = inv - starts[t]              # slot within the tile's list
+      grad = g[t, k] summed over each Gaussian's k_dup slots (dense reduce)
+
+    This replaces the CUDA backward's atomicAdd accumulation
+    (cuda_rasterizer/backward.cu:398-557).
+    """
+    idx = jnp.where(entry_lists >= 0, entry_lists // k_dup, 0)
+    return feat[idx]
+
+
+def _entry_gather_fwd(feat, entry_lists, sorted_entries, sorted_tiles, starts,
+                      tile_counts, k_dup):
+    out = entry_gather(feat, entry_lists, sorted_entries, sorted_tiles,
+                       starts, tile_counts, k_dup)
+    return out, (feat.shape, entry_lists.shape, sorted_entries, sorted_tiles,
+                 starts, tile_counts)
+
+
+def _entry_gather_bwd(k_dup, residuals, g):
+    import numpy as np
+
+    (feat_shape, lists_shape, sorted_entries, sorted_tiles, starts,
+     tile_counts) = residuals
+    n, d = feat_shape
+    num_tiles, k_max = lists_shape
+    g_flat = g.reshape(-1, d)  # [T*K, d]
+
+    # Position of every entry id in the sorted stream (exact inverse since
+    # sorted_entries is a permutation of arange(n*k_dup)).
+    inv = jnp.argsort(sorted_entries).astype(jnp.int32)   # [n*k_dup]
+    t = jnp.clip(jnp.take(sorted_tiles, inv), 0, num_tiles - 1)
+    k = inv - jnp.take(starts, t)
+    valid = (k >= 0) & (k < jnp.minimum(jnp.take(tile_counts, t), k_max))
+    gidx = jnp.where(valid, t * k_max + k, 0)
+    rows = jnp.take(g_flat, gidx, axis=0)                 # [n*k_dup, d]
+    rows = jnp.where(valid[:, None], rows, 0.0)
+    d_feat = rows.reshape(n, k_dup, d).sum(axis=1)
+    f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
+    return (d_feat, f0(jnp.zeros(lists_shape, jnp.int32)),
+            f0(sorted_entries), f0(sorted_tiles), f0(starts), f0(tile_counts))
+
+
+entry_gather.defvjp(_entry_gather_fwd, _entry_gather_bwd)
+
+
 def _blend_tile_chunk(xy, conic, opacity, rgb, valid, pix_x, pix_y):
     """Blend a chunk of tiles at once (background composited by the caller).
 
@@ -63,13 +122,14 @@ def render_binned(
     bg_color: jnp.ndarray,
     tile: int = TILE,
     tiles_per_chunk: int = 16,
+    k_dup: int = 64,
 ) -> RenderOutput:
     """Blend pre-binned Gaussians into the image."""
     gx, gy = tile_grid(width, height, tile)
     num_tiles = gx * gy
     p = tile * tile
 
-    # tile_lists carry ORIGINAL Gaussian indices in per-tile depth order.
+    # tile_lists carry ENTRY ids (gaussian * k_dup + slot), depth-ordered.
     xy_s = prep.means2d
     conic_s = prep.conics
     rgb_s = prep.rgb
@@ -93,7 +153,7 @@ def render_binned(
     def do_chunk(args):
         lists, pix_x, pix_y = args
         valid = lists >= 0
-        li = jnp.maximum(lists, 0)
+        li = jnp.where(valid, lists // k_dup, 0)
         c, t, n = _blend_tile_chunk(
             xy_s[li], conic_s[li], op_s[li], rgb_s[li], valid,
             pix_x, pix_y,
@@ -176,8 +236,10 @@ def render_pallas(
         axis=-1,
     )
 
-    li = jnp.maximum(binning.tile_lists, 0)
-    data_tiles = feat[li]  # [T, K, 16]
+    data_tiles = entry_gather(feat, binning.tile_lists,
+                              binning.sorted_entries, binning.sorted_tiles,
+                              binning.starts, binning.tile_counts,
+                              max_tiles_per_gaussian)  # [T, K, 16]
 
     color, final_t, n_contrib = pallas_blend(
         data_tiles, binning.tile_counts, gx, num_tiles)
@@ -231,5 +293,6 @@ def render_tiled(
         max_per_tile=max_per_tile,
     )
     out = render_binned(prep, opacities, binning, width, height, bg_color,
-                        tile=tile, tiles_per_chunk=tiles_per_chunk)
+                        tile=tile, tiles_per_chunk=tiles_per_chunk,
+                        k_dup=max_tiles_per_gaussian)
     return out, binning

@@ -1,0 +1,192 @@
+"""Web viewer: live free-fly rendering + training-option panel over HTTP.
+
+Replaces the reference's ImGui/GLFW/OpenGL viewer (reference:
+viewer/imgui_viewer.{h,cpp}, 864 LoC + vendored DearImGui) with a
+dependency-free stdlib HTTP server: the browser is the GUI. Endpoints:
+
+  GET  /            the viewer page (canvas + WASD/mouse fly controls +
+                    live training options, mirroring the reference's
+                    Training Options panel, imgui_viewer.cpp:420-467)
+  GET  /render      ?qw&qx&qy&qz&tx&ty&tz&w&h -> PNG render of that pose
+                    (the renderFromPose service, gaussian_mapper.cpp:1521-1569)
+  GET  /status      JSON training status (iteration, loss, #gaussians)
+  GET  /params      JSON VariableParameters
+  POST /params      set VariableParameters
+  POST /stop        signal the mapper to stop
+
+Renders read an immutable snapshot of the params pytree — no render mutex
+(the reference serializes on mutex_render_, gaussian_mapper.cpp:1549).
+"""
+from __future__ import annotations
+
+import io
+import json
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+_PAGE = """<!DOCTYPE html>
+<html><head><title>photo_slam_tpu viewer</title>
+<style>
+ body{margin:0;background:#111;color:#ddd;font-family:monospace;display:flex}
+ #view{flex:1} #panel{width:300px;padding:12px;background:#1a1a1a}
+ canvas{width:100%%;image-rendering:pixelated}
+ input{width:80px;background:#222;color:#ddd;border:1px solid #444}
+ .row{margin:4px 0} button{background:#333;color:#ddd;border:1px solid #555;
+ padding:4px 10px;margin:2px}
+</style></head><body>
+<div id="view"><canvas id="c" width="%(w)d" height="%(h)d"></canvas></div>
+<div id="panel">
+ <h3>photo_slam_tpu</h3>
+ <div id="status">-</div><hr>
+ <div>WASD move &middot; drag to look &middot; QE up/down</div><hr>
+ <div id="params"></div>
+ <button onclick="applyParams()">apply</button>
+ <button onclick="fetch('/stop',{method:'POST'})">stop training</button>
+</div>
+<script>
+let q=[1,0,0,0], t=[0,0,0], yaw=0, pitch=0, keys={}, drag=null;
+const c=document.getElementById('c'), ctx=c.getContext('2d');
+function pose(){
+ const cy=Math.cos(yaw/2), sy=Math.sin(yaw/2);
+ const cp=Math.cos(pitch/2), sp=Math.sin(pitch/2);
+ return [cy*cp, cy*sp, sy*cp, -sy*sp];
+}
+async function frame(){
+ const qq=pose();
+ const u=`/render?qw=${qq[0]}&qx=${qq[1]}&qy=${qq[2]}&qz=${qq[3]}`+
+         `&tx=${t[0]}&ty=${t[1]}&tz=${t[2]}&w=${c.width}&h=${c.height}`;
+ const img=new Image();
+ img.onload=()=>{ctx.drawImage(img,0,0); requestAnimationFrame(frame);};
+ img.onerror=()=>setTimeout(frame,500);
+ img.src=u+`&_=${Date.now()}`;
+}
+onkeydown=e=>keys[e.key]=1; onkeyup=e=>keys[e.key]=0;
+c.onmousedown=e=>drag=[e.clientX,e.clientY];
+onmouseup=()=>drag=null;
+onmousemove=e=>{if(drag){yaw+=(e.clientX-drag[0])*0.005;
+ pitch+=(e.clientY-drag[1])*0.005; drag=[e.clientX,e.clientY];}};
+setInterval(()=>{const v=0.05;
+ if(keys['w'])t[2]+=v; if(keys['s'])t[2]-=v;
+ if(keys['a'])t[0]-=v; if(keys['d'])t[0]+=v;
+ if(keys['q'])t[1]-=v; if(keys['e'])t[1]+=v;},33);
+setInterval(async()=>{
+ const s=await(await fetch('/status')).json();
+ document.getElementById('status').innerText=
+  `iter ${s.iteration}  loss ${s.ema_loss.toFixed(4)}\\n`+
+  `gaussians ${s.num_gaussians}  psnr ${s.last_psnr.toFixed(1)}`;
+},1000);
+async function loadParams(){
+ const p=await(await fetch('/params')).json();
+ document.getElementById('params').innerHTML=Object.entries(p).map(
+  ([k,v])=>`<div class=row>${k}<br><input id="p_${k}" value="${v}"></div>`
+ ).join('');
+}
+async function applyParams(){
+ const out={};
+ document.querySelectorAll('[id^=p_]').forEach(i=>{
+  out[i.id.slice(2)]=parseFloat(i.value)||i.value;});
+ await fetch('/params',{method:'POST',body:JSON.stringify(out)});
+}
+loadParams(); frame();
+</script></body></html>"""
+
+
+class ViewerServer:
+    """Serves the viewer for a running GaussianMapper."""
+
+    def __init__(self, mapper, host: str = "127.0.0.1", port: int = 8090,
+                 width: int = 640, height: int = 360):
+        self.mapper = mapper
+        self.width = width
+        self.height = height
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _send(self, code, body, ctype="application/json"):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                parsed = urllib.parse.urlparse(self.path)
+                qs = urllib.parse.parse_qs(parsed.query)
+
+                if parsed.path == "/":
+                    page = (_PAGE % {"w": outer.width, "h": outer.height})
+                    self._send(200, page.encode(), "text/html")
+                elif parsed.path == "/status":
+                    tr = outer.mapper.trainer
+                    self._send(200, json.dumps({
+                        "iteration": tr.iteration,
+                        "ema_loss": tr.ema_loss,
+                        "last_psnr": tr.metrics.last_psnr,
+                        "num_gaussians": tr.metrics.num_live,
+                    }).encode())
+                elif parsed.path == "/params":
+                    self._send(200, json.dumps(
+                        outer.mapper.get_variable_parameters()).encode())
+                elif parsed.path == "/render":
+                    try:
+                        g = lambda k, d=0.0: float(qs.get(k, [d])[0])
+                        quat = np.array([g("qw", 1.0), g("qx"), g("qy"),
+                                         g("qz")])
+                        trans = np.array([g("tx"), g("ty"), g("tz")])
+                        w = int(g("w", outer.width))
+                        h = int(g("h", outer.height))
+                        img = outer.mapper.render_from_pose(quat, trans, w, h)
+                        self._send(200, _to_png(img), "image/png")
+                    except Exception as e:  # noqa: BLE001
+                        self._send(500, str(e).encode(), "text/plain")
+                else:
+                    self._send(404, b"not found", "text/plain")
+
+            def do_POST(self):
+                length = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(length) if length else b"{}"
+                if self.path == "/params":
+                    outer.mapper.set_variable_parameters(json.loads(body))
+                    self._send(200, b"{}")
+                elif self.path == "/stop":
+                    outer.mapper.signal_stop()
+                    self._send(200, b"{}")
+                else:
+                    self._send(404, b"not found", "text/plain")
+
+        self._server = ThreadingHTTPServer((host, port), Handler)
+        self.port = self._server.server_address[1]
+        self._thread: threading.Thread | None = None
+
+    def start(self) -> None:
+        self._thread = threading.Thread(target=self._server.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._server.shutdown()
+        if self._thread:
+            self._thread.join(timeout=5)
+
+
+def _to_png(img_chw: np.ndarray) -> bytes:
+    """Encode a [3,H,W] float image to PNG bytes (cv2/PIL, whichever exists)."""
+    arr = (np.clip(np.transpose(img_chw, (1, 2, 0)), 0, 1) * 255).astype(
+        np.uint8)
+    try:
+        import cv2
+        ok, buf = cv2.imencode(".png", cv2.cvtColor(arr, cv2.COLOR_RGB2BGR))
+        if ok:
+            return buf.tobytes()
+    except Exception:
+        pass
+    from PIL import Image
+    bio = io.BytesIO()
+    Image.fromarray(arr).save(bio, format="PNG")
+    return bio.getvalue()

@@ -1,0 +1,247 @@
+"""Online mapper end-to-end: GT-pose tracker -> MappingOperations -> 3-phase
+run loop, plus the loop-closure / scale-refinement op protocol and
+record/replay streams."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from photo_slam_tpu.config import Config
+from photo_slam_tpu.mapper.mapper import GaussianMapper, SensorType
+from photo_slam_tpu.mapper.mapping_ops import (MappingOperation, OprType,
+                                               load_stream, save_stream)
+from photo_slam_tpu.models.camera import PINHOLE, Camera
+from photo_slam_tpu.ops.camera_math import build_camera_matrices
+from photo_slam_tpu.ops.render import RenderSettings, render
+from photo_slam_tpu.tracking.gt_tracker import Frame, GroundTruthTracker
+
+W, H, F = 64, 48, 60.0
+PLANE_Z = 5.0
+
+
+def make_camera():
+    return Camera(camera_id=0, model_id=PINHOLE, width=W, height=H,
+                  fx=F, fy=F, cx=W / 2, cy=H / 2)
+
+
+def gt_world(n=400, seed=0):
+    """Textured plane at z=PLANE_Z built from small Gaussians."""
+    rng = np.random.RandomState(seed)
+    span_x = PLANE_Z * W / (2 * F) * 1.8
+    span_y = PLANE_Z * H / (2 * F) * 1.8
+    pts = np.stack([rng.uniform(-span_x, span_x, n),
+                    rng.uniform(-span_y, span_y, n),
+                    np.full(n, PLANE_Z)], 1).astype(np.float32)
+    scales = np.full((n, 3), 0.12, np.float32)
+    quats = np.tile(np.array([1.0, 0, 0, 0], np.float32), (n, 1))
+    opac = rng.uniform(0.6, 0.95, n).astype(np.float32)
+    cols = rng.uniform(0.1, 0.9, (n, 3)).astype(np.float32)
+    return pts, scales, quats, opac, cols
+
+
+def render_world(world, quat, trans, cam):
+    pts, scales, quats, opac, cols = world
+    from photo_slam_tpu.utils.math import quat_to_rotmat
+    R = np.asarray(quat_to_rotmat(jnp.asarray(quat / np.linalg.norm(quat))))
+    mats = build_camera_matrices(R, trans, 0.01, 100.0, cam.fovx, cam.fovy)
+    settings = RenderSettings(width=W, height=H, tan_fovx=np.tan(cam.fovx / 2),
+                              tan_fovy=np.tan(cam.fovy / 2))
+    res = render(jnp.asarray(pts), jnp.asarray(scales), jnp.asarray(quats),
+                 jnp.asarray(opac), mats, settings, jnp.zeros(3),
+                 colors_precomp=jnp.asarray(cols))
+    return np.asarray(res.image)
+
+
+def make_frames(world, cam, num=8):
+    frames = []
+    for i in range(num):
+        quat = np.array([1.0, 0, 0, 0])
+        trans = np.array([0.08 * (i - num / 2), 0.0, 0.0])
+        img = render_world(world, quat, trans, cam)
+        depth = np.full((H, W), PLANE_Z, np.float32)  # plane: lateral moves
+        frames.append(Frame(image=img, quat_wxyz=quat, trans=trans,
+                            depth=depth, filename=f"f{i:03d}"))
+    return frames
+
+
+def small_cfg():
+    cfg = Config()
+    cfg.renderer.initial_capacity = 1024
+    cfg.mapper.min_num_initial_map_kfs = 3
+    cfg.mapper.new_keyframe_times_of_use = 5
+    cfg.mapper.do_gaus_pyramid_training = False
+    cfg.mapper.max_depth_cached = 1
+    cfg.opt.densify_from_iter = 20
+    cfg.opt.densification_interval = 30
+    cfg.opt.densify_until_iter = 60
+    cfg.opt.opacity_reset_interval = 0
+    cfg.record.record_rendered_image = False
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def run_result(tmp_path_factory):
+    out = tmp_path_factory.mktemp("mapper_out")
+    cfg = small_cfg()
+    cam = make_camera()
+    world = gt_world()
+    frames = make_frames(world, cam)
+
+    mapper = GaussianMapper(cfg, SensorType.RGBD, result_dir=out)
+    mapper.add_camera(cam)
+    tracker = GroundTruthTracker(cam, keyframe_every=1, num_keypoints=200)
+    tracker.run(frames, mapper.queue.push)
+    assert tracker.done
+
+    mapper.run(is_tracker_done=lambda: tracker.done,
+               live_kf_ids=lambda: tracker.live_kf_ids,
+               max_iterations=60)
+    return mapper, out
+
+
+class TestOnlineMapping:
+    def test_initialized_and_trained(self, run_result):
+        mapper, _ = run_result
+        assert mapper.initial_mapped
+        assert mapper.trainer.iteration >= 59
+        assert len(mapper.scene.keyframes) == 8
+        assert mapper.trainer.metrics.num_live > 0
+
+    def test_quality_metrics_written(self, run_result):
+        mapper, out = run_result
+        for f in ["dssim_shutdown.txt", "psnr_shutdown.txt",
+                  "psnr_gaussian_splatting_shutdown.txt",
+                  "render_time_shutdown.txt"]:
+            assert (out / f).exists(), f
+        psnrs = [float(l.split()[1])
+                 for l in (out / "psnr_shutdown.txt").read_text().splitlines()]
+        assert len(psnrs) == 8
+        assert np.mean(psnrs) > 15.0, f"mean PSNR too low: {np.mean(psnrs)}"
+
+    def test_checkpoint_layout(self, run_result):
+        mapper, out = run_result
+        plys = list((out / "point_cloud").rglob("point_cloud.ply"))
+        assert len(plys) == 1
+        assert (out / "cameras.json").exists()
+        assert (out / "cfg_args").exists()
+        assert (out / "used_times" / "used_times.txt").exists()
+
+    def test_render_from_pose_service(self, run_result):
+        mapper, _ = run_result
+        img = mapper.render_from_pose(np.array([1.0, 0, 0, 0]),
+                                      np.zeros(3), W, H)
+        assert img.shape == (3, H, W)
+        assert np.isfinite(img).all()
+        assert img.max() > 0.05
+
+
+class TestOpProtocol:
+    def _mapped(self):
+        cfg = small_cfg()
+        cam = make_camera()
+        world = gt_world()
+        frames = make_frames(world, cam, num=4)
+        mapper = GaussianMapper(cfg, SensorType.RGBD)
+        mapper.add_camera(cam)
+        tracker = GroundTruthTracker(cam, keyframe_every=1, num_keypoints=100)
+        for fr in frames:
+            op = tracker.process_frame(fr)
+            if op:
+                mapper.queue.push(op)
+        mapper.combine_mapping_operations()
+        mapper.initialize_mapping()
+        for _ in range(3):
+            mapper.trainer.train_iteration()
+        return mapper
+
+    def test_local_ba_updates_pose(self):
+        mapper = self._mapped()
+        kf = mapper.scene.keyframes[0]
+        old_trans = kf.trans.copy()
+        op = MappingOperation(kind=OprType.LOCAL_MAPPING_BA)
+        from photo_slam_tpu.mapper.mapping_ops import KeyframeData
+        op.keyframes.append(KeyframeData(
+            kfid=0, camera_id=0, quat_wxyz=np.array([1.0, 0, 0, 0]),
+            trans=old_trans + [0.05, 0, 0]))
+        mapper.queue.push(op)
+        mapper.combine_mapping_operations()
+        assert np.allclose(mapper.scene.keyframes[0].trans,
+                           old_trans + [0.05, 0, 0])
+
+    def test_loop_closing_transforms_points(self):
+        mapper = self._mapped()
+        xyz_before = np.asarray(mapper.trainer.state.params.xyz).copy()
+        live = np.asarray(mapper.trainer.state.live)
+        from photo_slam_tpu.mapper.mapping_ops import KeyframeData
+        op = MappingOperation(kind=OprType.LOOP_CLOSING_BA, scale=1.0)
+        kf = mapper.scene.keyframes[0]
+        # Big pose correction: shift the keyframe by 0.5m.
+        op.keyframes.append(KeyframeData(
+            kfid=0, camera_id=0, quat_wxyz=kf.quat.copy(),
+            trans=kf.trans + [0.5, 0, 0]))
+        mapper.queue.push(op)
+        mapper.combine_mapping_operations()
+        assert mapper.loop_closure_iteration
+        xyz_after = np.asarray(mapper.trainer.state.params.xyz)
+        moved = np.abs(xyz_after - xyz_before).sum(1) > 1e-6
+        # Visible, unstable points must have moved.
+        assert moved[live].any()
+        # And the pose was updated.
+        assert np.allclose(mapper.scene.keyframes[0].trans,
+                           kf.trans)
+
+    def test_scale_refinement(self):
+        mapper = self._mapped()
+        xyz_before = np.asarray(mapper.trainer.state.params.xyz).copy()
+        live = np.asarray(mapper.trainer.state.live)
+        kf_trans_before = {f: k.trans.copy()
+                           for f, k in mapper.scene.keyframes.items()}
+        s = 2.0
+        T = np.eye(4, dtype=np.float32)
+        T[:3, 3] = [0.1, 0.0, 0.0]
+        op = MappingOperation(kind=OprType.SCALE_REFINEMENT, scale=s,
+                              transform=T)
+        mapper.queue.push(op)
+        mapper.combine_mapping_operations()
+        xyz_after = np.asarray(mapper.trainer.state.params.xyz)
+        expected = xyz_before[live] * s + T[:3, 3]
+        np.testing.assert_allclose(xyz_after[live], expected, atol=1e-4)
+        # Camera centers scale too: Twc' = T @ (Twc, t*=s).
+        for f, kf in mapper.scene.keyframes.items():
+            assert not np.allclose(kf.trans, kf_trans_before[f]) or (
+                np.allclose(kf_trans_before[f] * s, kf_trans_before[f]))
+
+    def test_stream_roundtrip(self, tmp_path):
+        cam = make_camera()
+        world = gt_world(n=50)
+        frames = make_frames(world, cam, num=3)
+        tracker = GroundTruthTracker(cam, keyframe_every=1, num_keypoints=50)
+        ops = [tracker.process_frame(f) for f in frames]
+        ops = [o for o in ops if o]
+        p = tmp_path / "stream.npz"
+        save_stream(p, ops)
+        ops2 = load_stream(p)
+        assert len(ops2) == len(ops)
+        for a, b in zip(ops, ops2):
+            assert a.kind == b.kind
+            np.testing.assert_allclose(a.points, b.points)
+            assert len(a.keyframes) == len(b.keyframes)
+            np.testing.assert_allclose(a.keyframes[0].quat_wxyz,
+                                       b.keyframes[0].quat_wxyz)
+            np.testing.assert_array_equal(a.keyframes[0].image,
+                                          b.keyframes[0].image)
+
+
+class TestMonoDensify:
+    def test_mono_neighbor_borrow(self):
+        from photo_slam_tpu.ops.depth_ops import mono_neighbor_densify
+        pix = jnp.asarray(np.array([[10.0, 10], [12, 10], [40, 40]]))
+        has3d = jnp.asarray(np.array([True, False, False]))
+        local = jnp.asarray(np.array([[0.1, 0.2, 3.0], [0, 0, 0], [0, 0, 0]],
+                                     dtype=np.float32))
+        pts, valid = mono_neighbor_densify(pix, has3d, local, 25.0,
+                                           60.0, 60.0, 32.0, 24.0)
+        v = np.asarray(valid)
+        assert v[0] and v[1] and not v[2]  # far point has no donor in radius
+        # Borrowed depth = donor's z.
+        assert float(pts[1, 2]) == pytest.approx(3.0)

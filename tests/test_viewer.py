@@ -1,0 +1,79 @@
+"""Web viewer server: endpoints against a live (small) mapper."""
+import json
+import urllib.request
+
+import numpy as np
+import pytest
+
+from photo_slam_tpu.config import Config
+from photo_slam_tpu.mapper.mapper import GaussianMapper, SensorType
+from photo_slam_tpu.models.camera import PINHOLE, Camera
+from photo_slam_tpu.viewer.server import ViewerServer
+
+
+@pytest.fixture(scope="module")
+def viewer():
+    cfg = Config()
+    cfg.renderer.initial_capacity = 256
+    cam = Camera(camera_id=0, model_id=PINHOLE, width=64, height=48,
+                 fx=60.0, fy=60.0, cx=32, cy=24)
+    mapper = GaussianMapper(cfg, SensorType.RGBD)
+    mapper.add_camera(cam)
+    rng = np.random.RandomState(0)
+    pts = (rng.randn(50, 3) * 0.5 + [0, 0, 5]).astype(np.float32)
+    mapper.trainer.initialize_map(pts, rng.rand(50, 3).astype(np.float32))
+    mapper.initial_mapped = True
+    srv = ViewerServer(mapper, port=0, width=64, height=48)
+    srv.start()
+    yield srv, mapper
+    srv.stop()
+
+
+def _get(srv, path):
+    with urllib.request.urlopen(f"http://127.0.0.1:{srv.port}{path}",
+                                timeout=30) as r:
+        return r.status, r.read(), r.headers.get("Content-Type")
+
+
+class TestViewer:
+    def test_index_page(self, viewer):
+        srv, _ = viewer
+        code, body, ctype = _get(srv, "/")
+        assert code == 200 and b"photo_slam_tpu" in body
+        assert "text/html" in ctype
+
+    def test_status(self, viewer):
+        srv, _ = viewer
+        code, body, _ = _get(srv, "/status")
+        s = json.loads(body)
+        assert code == 200
+        assert "iteration" in s and "num_gaussians" in s
+
+    def test_render_endpoint(self, viewer):
+        srv, _ = viewer
+        code, body, ctype = _get(
+            srv, "/render?qw=1&qx=0&qy=0&qz=0&tx=0&ty=0&tz=0&w=64&h=48")
+        assert code == 200
+        assert ctype == "image/png"
+        assert body[:8] == b"\x89PNG\r\n\x1a\n"
+
+    def test_params_roundtrip(self, viewer):
+        srv, mapper = viewer
+        code, body, _ = _get(srv, "/params")
+        params = json.loads(body)
+        assert "lambda_dssim" in params
+        params["lambda_dssim"] = 0.33
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/params",
+            data=json.dumps(params).encode(), method="POST")
+        with urllib.request.urlopen(req, timeout=30) as r:
+            assert r.status == 200
+        assert mapper.cfg.opt.lambda_dssim == pytest.approx(0.33)
+
+    def test_stop(self, viewer):
+        srv, mapper = viewer
+        req = urllib.request.Request(f"http://127.0.0.1:{srv.port}/stop",
+                                     data=b"", method="POST")
+        with urllib.request.urlopen(req, timeout=30) as r:
+            assert r.status == 200
+        assert mapper.stopped

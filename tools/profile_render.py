@@ -64,7 +64,8 @@ def main():
           file=sys.stderr)
 
     blend_fn = jax.jit(lambda p, b, o: tiled_mod.render_binned(
-        p, o, b, width, height, jnp.zeros(3), tiles_per_chunk=chunk))
+        p, o, b, width, height, jnp.zeros(3), tiles_per_chunk=chunk,
+        k_dup=k_dup))
     timeit(f"blend (K={k_tile},chunk={chunk})", blend_fn, prep, binning, opac)
 
     full = jax.jit(lambda xyz, s, q, sh_, o: tiled_mod.render_tiled(

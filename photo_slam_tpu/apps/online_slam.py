@@ -74,6 +74,7 @@ def run_online(dataset, sensor: SensorType, cfg: Config, out_dir,
 
     save_trajectory_tum(out / "CameraTrajectory_TUM.txt",
                         mapper.scene.keyframes)
+    from photo_slam_tpu.utils.profiling import device_memory_stats
     (out / "run_summary.json").write_text(json.dumps({
         "wall_seconds": wall,
         "iterations": mapper.trainer.iteration,
@@ -81,6 +82,8 @@ def run_online(dataset, sensor: SensorType, cfg: Config, out_dir,
         "num_keyframes": len(mapper.scene.keyframes),
         "num_gaussians": mapper.trainer.metrics.num_live,
         "ema_loss": mapper.trainer.ema_loss,
+        # GpuPeakUsageMB-equivalent (reference: examples/replica_rgbd.cpp:235)
+        "device_memory": device_memory_stats(),
     }, indent=2))
     print(f"[online_slam] {mapper.trainer.iteration} iters, "
           f"{len(mapper.scene.keyframes)} kfs, "

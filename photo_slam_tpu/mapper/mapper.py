@@ -361,13 +361,16 @@ class GaussianMapper:
                 return
             time.sleep(0.001)
 
-        # Phase 2: incremental mapping.
+        # Phase 2: incremental mapping. Metrics are fetched every few
+        # iterations so training dispatch stays asynchronous (the reference
+        # synchronizes per iteration; we only need periodic host visibility).
         while not self.stopped and not is_tracker_done() and (
                 self.trainer.iteration < max_iter):
             self.combine_mapping_operations()
             if self.cfg.mapper.cull_keyframes and live_kf_ids is not None:
                 self.cull_keyframes(live_kf_ids())
-            self.trainer.train_iteration()
+            self.trainer.train_iteration(
+                fetch_metrics=self.trainer.iteration % 10 == 0)
 
         # Phase 3: tail optimization through the densification window
         # (reference: 527-534).
@@ -375,7 +378,8 @@ class GaussianMapper:
                 self.trainer.iteration < o.densify_until_iter
                 and self.trainer.iteration < max_iter):
             self.combine_mapping_operations()
-            self.trainer.train_iteration()
+            self.trainer.train_iteration(
+                fetch_metrics=self.trainer.iteration % 10 == 0)
 
         if self.result_dir is not None:
             self.finalize(self.result_dir)

@@ -236,9 +236,15 @@ class GaussianTrainer:
             tiles_per_chunk=r.tiles_per_chunk,
         )
 
-    def train_iteration(self, kf: Optional[Keyframe] = None) -> dict[str, Any]:
+    def train_iteration(self, kf: Optional[Keyframe] = None,
+                        fetch_metrics: bool = True) -> dict[str, Any]:
         """One full pass of trainForOneIteration
-        (reference: src/gaussian_mapper.cpp:614-774)."""
+        (reference: src/gaussian_mapper.cpp:614-774).
+
+        With fetch_metrics=False the step is dispatched asynchronously (no
+        host sync — the reference synchronizes every iteration, we don't have
+        to); host-side metric fields keep their last fetched values.
+        """
         self.iteration += 1
         it = self.iteration
         o = self.cfg.opt
@@ -302,13 +308,14 @@ class GaussianTrainer:
                 self.state, self.opt_state = opacity_reset_step(
                     self.state, self.opt_state)
 
-        loss = float(metrics["loss"])
-        self.ema_loss = 0.4 * loss + 0.6 * self.ema_loss
         self.metrics.iteration = it
-        self.metrics.last_loss = loss
-        self.metrics.ema_loss = self.ema_loss
-        self.metrics.last_psnr = float(metrics["psnr"])
-        self.metrics.num_live = int(gm.num_live(self.state))
+        if fetch_metrics:
+            loss = float(metrics["loss"])
+            self.ema_loss = 0.4 * loss + 0.6 * self.ema_loss
+            self.metrics.last_loss = loss
+            self.metrics.ema_loss = self.ema_loss
+            self.metrics.last_psnr = float(metrics["psnr"])
+            self.metrics.num_live = int(gm.num_live(self.state))
         return {k: v for k, v in metrics.items()}
 
     # -- offline loop ------------------------------------------------------------

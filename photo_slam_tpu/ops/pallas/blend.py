@@ -38,7 +38,12 @@ TILE_PS = 32          # pixel tile edge: 32*32 = 1024 px = one (8,128) f32 tile
 PIX_SUB = 8
 PIX_LANE = 128
 FEAT = 16
-EXIT_CHECK = 32       # early-exit poll period (Gaussians)
+EXIT_CHECK = 64       # early-exit poll period on TPU (Gaussians)
+EXIT_CHECK_INTERPRET = 16  # smaller unroll for CPU interpret mode (tests)
+
+
+def _exit_check() -> int:
+    return EXIT_CHECK_INTERPRET if _use_interpret() else EXIT_CHECK
 
 ALPHA_MAX = 0.99
 ALPHA_MIN = 1.0 / 255.0
@@ -99,17 +104,19 @@ def _fwd_kernel(counts_ref, tiles_x_ref, data_ref, color_ref, t_ref, n_ref):
         alive_f = carry[5]
         return (k0 < count) & (jnp.max(alive_f) > 0.0)
 
+    group = _exit_check()
+
     def chunk_body(state):
         k0, carry = state
-        # One aligned [EXIT_CHECK, 16] group load per chunk (k0 stays a
-        # multiple of EXIT_CHECK, which keeps sublane alignment), then a
-        # statically unrolled pass over its rows — this is the analog of the
-        # CUDA kernel's cooperative shared-memory batch fetch
+        # One aligned [group, 16] load per chunk (k0 stays a multiple of
+        # the group size, which keeps sublane alignment), then a statically
+        # unrolled pass over its rows — the analog of the CUDA kernel's
+        # cooperative shared-memory batch fetch
         # (cuda_rasterizer/forward.cu:313-322).
-        rows = data_ref[0, pl.ds(k0, EXIT_CHECK)]
-        for i in range(EXIT_CHECK):
+        rows = data_ref[0, pl.ds(k0, group)]
+        for i in range(group):
             carry = gaussian_step(rows[i], k0 + i, carry)
-        return k0 + EXIT_CHECK, carry
+        return k0 + group, carry
 
     _, (cr, cg, cb, T, nc, _) = jax.lax.while_loop(
         chunk_cond, chunk_body, (jnp.int32(0), init))
@@ -207,18 +214,19 @@ def _bwd_kernel(counts_ref, tiles_x_ref, data_ref, final_t_ref, n_ref,
         Bb = Bb + jnp.where(valid, alpha * T_k * d[8], 0.0)
         return row, (T_k, Br, Bg, Bb)
 
-    # Back-to-front in aligned groups of EXIT_CHECK: one [G, 16] load and one
-    # [G, 16] gradient store per group (the store pattern replaces the CUDA
+    # Back-to-front in aligned groups: one [G, 16] load and one [G, 16]
+    # gradient store per group (the store pattern replaces the CUDA
     # backward's per-Gaussian atomicAdd, backward.cu:398-557).
-    num_groups = (count + EXIT_CHECK - 1) // EXIT_CHECK
+    group = _exit_check()
+    num_groups = (count + group - 1) // group
 
     def group_body(gi, carry):
-        k0 = (num_groups - 1 - gi) * EXIT_CHECK
-        rows = data_ref[0, pl.ds(k0, EXIT_CHECK)]
-        grad_rows = [None] * EXIT_CHECK
-        for i in reversed(range(EXIT_CHECK)):
+        k0 = (num_groups - 1 - gi) * group
+        rows = data_ref[0, pl.ds(k0, group)]
+        grad_rows = [None] * group
+        for i in reversed(range(group)):
             grad_rows[i], carry = gaussian_step(rows[i], k0 + i, carry)
-        d_data_ref[0, pl.ds(k0, EXIT_CHECK)] = jnp.stack(grad_rows)
+        d_data_ref[0, pl.ds(k0, group)] = jnp.stack(grad_rows)
         return carry
 
     jax.lax.fori_loop(0, num_groups, group_body, init)

@@ -146,6 +146,29 @@ def tum_rgbd(argv=None):
                       max_iterations=args.iters)
 
 
+def tum_mono(argv=None):
+    from photo_slam_tpu.io.datasets import TumDataset
+    from photo_slam_tpu.models.camera import PINHOLE, Camera
+    ap = _common_parser()
+    ap.add_argument("--fx", type=float, default=535.4)
+    ap.add_argument("--fy", type=float, default=539.2)
+    ap.add_argument("--cx", type=float, default=320.1)
+    ap.add_argument("--cy", type=float, default=247.6)
+    ap.add_argument("--width", type=int, default=640)
+    ap.add_argument("--height", type=int, default=480)
+    args = ap.parse_args(argv)
+    cfg = load_reference_yaml(args.cfg) if args.cfg else Config()
+    cam = Camera(camera_id=0, model_id=PINHOLE, width=args.width,
+                 height=args.height, fx=args.fx, fy=args.fy, cx=args.cx,
+                 cy=args.cy)
+    # Monocular: depth maps (when present) only seed sparse keypoints, the
+    # mapper runs the monocular neighbor-depth densification path.
+    ds = TumDataset(args.data, cam, with_depth=True)
+    return run_online(ds, SensorType.MONOCULAR, cfg, args.out,
+                      keyframe_every=args.keyframe_every,
+                      max_iterations=args.iters)
+
+
 def euroc_stereo(argv=None):
     from photo_slam_tpu.io.datasets import EurocDataset
     from photo_slam_tpu.models.camera import PINHOLE, Camera
@@ -167,5 +190,6 @@ if __name__ == "__main__":
 
     entry = sys.argv[1] if len(sys.argv) > 1 else "replica_rgbd"
     fn = {"replica_rgbd": replica_rgbd, "replica_mono": replica_mono,
-          "tum_rgbd": tum_rgbd, "euroc_stereo": euroc_stereo}[entry]
+          "tum_rgbd": tum_rgbd, "tum_mono": tum_mono,
+          "euroc_stereo": euroc_stereo}[entry]
     fn(sys.argv[2:])

@@ -194,6 +194,15 @@ class OrbVoTracker:
         tcw = np.eye(4)
         tcw[:3, :3] = R
         tcw[:3, 3] = tvec.ravel()
+
+        # Motion-only BA polish on the RANSAC inliers (the role of
+        # Optimizer::PoseOptimization after initial pose estimation;
+        # native C++ Gauss-Newton core, numpy fallback).
+        from photo_slam_tpu.native import pose_optimize
+        inl = inliers.ravel()
+        _, tcw, _ = pose_optimize(obj[inl], img_pts[inl], self.camera.fx,
+                                  self.camera.fy, self.camera.cx,
+                                  self.camera.cy, tcw)
         self.tcw = tcw
         self.trajectory.append(tcw.copy())
 

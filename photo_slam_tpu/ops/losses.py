@@ -46,19 +46,27 @@ def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
     return (g / g.sum()).astype(np.float32)
 
 
-def _depthwise_conv2d(img: jnp.ndarray, window: jnp.ndarray, pad: int) -> jnp.ndarray:
-    """Per-channel 2D conv of CHW image with [kh, kw] window, zero padding."""
+def _depthwise_conv2d(img: jnp.ndarray, w1d: jnp.ndarray,
+                      pad: int) -> jnp.ndarray:
+    """Separable per-channel Gaussian blur of a CHW image.
+
+    The window is separable (outer product of a 1D Gaussian), so two 1D
+    convolutions replace the 11x11 grouped conv — 11x fewer FLOPs and a far
+    better XLA/TPU lowering than the reference's 2D conv2d
+    (include/loss_utils.h:85-97); numerically identical.
+    """
     c = img.shape[0]
+    k = w1d.shape[0]
     lhs = img[None]  # NCHW
-    rhs = jnp.broadcast_to(window[None, None], (c, 1, *window.shape))  # OIHW, groups=C
+
+    rhs_h = jnp.broadcast_to(w1d[None, None, :, None], (c, 1, k, 1))
     out = jax.lax.conv_general_dilated(
-        lhs,
-        rhs,
-        window_strides=(1, 1),
-        padding=[(pad, pad), (pad, pad)],
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        feature_group_count=c,
-    )
+        lhs, rhs_h, window_strides=(1, 1), padding=[(pad, pad), (0, 0)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"), feature_group_count=c)
+    rhs_w = jnp.broadcast_to(w1d[None, None, None, :], (c, 1, 1, k))
+    out = jax.lax.conv_general_dilated(
+        out, rhs_w, window_strides=(1, 1), padding=[(0, 0), (pad, pad)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"), feature_group_count=c)
     return out[0]
 
 
@@ -70,17 +78,16 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
     (1 - ssim).
     """
     w1d = jnp.asarray(_gaussian_window(window_size, sigma))
-    window = w1d[:, None] * w1d[None, :]
     pad = window_size // 2
 
-    mu1 = _depthwise_conv2d(img1, window, pad)
-    mu2 = _depthwise_conv2d(img2, window, pad)
+    mu1 = _depthwise_conv2d(img1, w1d, pad)
+    mu2 = _depthwise_conv2d(img2, w1d, pad)
     mu1_sq = mu1 * mu1
     mu2_sq = mu2 * mu2
     mu1_mu2 = mu1 * mu2
-    sigma1_sq = _depthwise_conv2d(img1 * img1, window, pad) - mu1_sq
-    sigma2_sq = _depthwise_conv2d(img2 * img2, window, pad) - mu2_sq
-    sigma12 = _depthwise_conv2d(img1 * img2, window, pad) - mu1_mu2
+    sigma1_sq = _depthwise_conv2d(img1 * img1, w1d, pad) - mu1_sq
+    sigma2_sq = _depthwise_conv2d(img2 * img2, w1d, pad) - mu2_sq
+    sigma12 = _depthwise_conv2d(img1 * img2, w1d, pad) - mu1_mu2
 
     c1 = 0.01**2
     c2 = 0.03**2

@@ -68,6 +68,10 @@ class GaussianMapper:
         self.stopped = False
         self._cached_points: list[np.ndarray] = []
         self._cached_colors: list[np.ndarray] = []
+        # All sparse tracker points ever inserted, kept for input.ply
+        # (reference: sparse_points_xyz_/color_, src/gaussian_model.cpp:211-218).
+        self._sparse_log_pts: list[np.ndarray] = []
+        self._sparse_log_cols: list[np.ndarray] = []
         self._depth_cache_pts: list[np.ndarray] = []
         self._depth_cache_cols: list[np.ndarray] = []
         self._live_kf_ids: Optional[set[int]] = None  # for culling
@@ -169,6 +173,8 @@ class GaussianMapper:
     def _add_op_points(self, op: MappingOperation) -> None:
         if op.points.shape[0] == 0:
             return
+        self._sparse_log_pts.append(op.points.astype(np.float32))
+        self._sparse_log_cols.append(op.colors.astype(np.float32))
         if self.initial_mapped:
             if op.points.shape[0] >= 30:
                 self.trainer.increase_pcd(op.points, op.colors)
@@ -452,6 +458,12 @@ class GaussianMapper:
                 "fy": kf.camera.fy,
             })
         out.mkdir(parents=True, exist_ok=True)
+        if self._sparse_log_pts:
+            from photo_slam_tpu.utils.ply import save_points_ply
+            pts = np.concatenate(self._sparse_log_pts)
+            cols = np.concatenate(self._sparse_log_cols)
+            save_points_ply(out / "input.ply", pts,
+                            np.clip(cols * 255, 0, 255).astype(np.uint8))
         (out / "cameras.json").write_text(json.dumps(cams))
         (out / "cfg_args").write_text(
             "Namespace(eval=False, images='images', model_path="

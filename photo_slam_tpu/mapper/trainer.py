@@ -355,6 +355,65 @@ class GaussianTrainer:
             np.asarray(p.quats)[live],
         )
 
+    def save_checkpoint(self, path) -> None:
+        """FULL training state checkpoint (map + optimizer moments + step +
+        schedule state) for mid-training resume — capability beyond the
+        reference, whose PLY checkpoints drop optimizer state
+        (SURVEY.md §5: 'Optimizer state is NOT checkpointed')."""
+        import numpy as np
+        from pathlib import Path
+
+        payload = {}
+        for name, arr in self.state.params._asdict().items():
+            payload[f"p_{name}"] = np.asarray(arr)
+        for name, arr in [("live", self.state.live),
+                          ("max_radii2d", self.state.max_radii2d),
+                          ("xyz_grad_accum", self.state.xyz_grad_accum),
+                          ("denom", self.state.denom),
+                          ("exist_since_iter", self.state.exist_since_iter)]:
+            payload[f"s_{name}"] = np.asarray(arr)
+        for name, arr in self.opt_state.m._asdict().items():
+            payload[f"m_{name}"] = np.asarray(arr)
+        for name, arr in self.opt_state.v._asdict().items():
+            payload[f"v_{name}"] = np.asarray(arr)
+        payload["meta"] = np.array([
+            self.iteration, self.default_sh, int(self.opt_state.step),
+        ])
+        payload["meta_f"] = np.array([
+            self.ema_loss, self.spatial_lr_scale, self.position_lr_init_live,
+        ])
+        Path(path).parent.mkdir(parents=True, exist_ok=True)
+        np.savez_compressed(path, **payload)
+
+    def load_checkpoint(self, path) -> None:
+        import jax.numpy as jnp
+        import numpy as np
+
+        data = np.load(path)
+        params = gm.GaussianParams(
+            **{k: jnp.asarray(data[f"p_{k}"])
+               for k in gm.GaussianParams._fields})
+        self.state = gm.GaussianState(
+            params=params,
+            live=jnp.asarray(data["s_live"]),
+            max_radii2d=jnp.asarray(data["s_max_radii2d"]),
+            xyz_grad_accum=jnp.asarray(data["s_xyz_grad_accum"]),
+            denom=jnp.asarray(data["s_denom"]),
+            exist_since_iter=jnp.asarray(data["s_exist_since_iter"]),
+        )
+        self.opt_state = optim.AdamState(
+            m=gm.GaussianParams(**{k: jnp.asarray(data[f"m_{k}"])
+                                   for k in gm.GaussianParams._fields}),
+            v=gm.GaussianParams(**{k: jnp.asarray(data[f"v_{k}"])
+                                   for k in gm.GaussianParams._fields}),
+            step=jnp.asarray(data["meta"][2], jnp.int32),
+        )
+        self.iteration = int(data["meta"][0])
+        self.default_sh = int(data["meta"][1])
+        self.ema_loss = float(data["meta_f"][0])
+        self.spatial_lr_scale = float(data["meta_f"][1])
+        self.position_lr_init_live = float(data["meta_f"][2])
+
     def load_ply(self, path) -> None:
         from photo_slam_tpu.utils import ply
         xyz, f_dc, f_rest, opac, log_s, quats = ply.load_gaussian_ply(path)

@@ -9,7 +9,6 @@ stock YAML parsers reject) so existing configs keep working.
 """
 from __future__ import annotations
 
-import dataclasses
 from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Any

@@ -11,7 +11,6 @@ on demand — the host IO thread overlaps with TPU training).
 """
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass
 from pathlib import Path
 from typing import Iterator, Optional

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import json
 import time
-from dataclasses import dataclass
+
 from enum import Enum
 from pathlib import Path
 from typing import Callable, Optional

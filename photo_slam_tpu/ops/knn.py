@@ -14,7 +14,6 @@ box bounds, here:
 """
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

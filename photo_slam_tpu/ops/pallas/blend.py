@@ -27,7 +27,7 @@ The same layout is the gradient layout in the backward pass.
 from __future__ import annotations
 
 import functools
-from typing import Any
+
 
 import jax
 import jax.numpy as jnp

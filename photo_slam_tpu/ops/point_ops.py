@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from photo_slam_tpu.ops.camera_math import transform_points_43, transform_points_44
+from photo_slam_tpu.ops.camera_math import transform_points_43
 from photo_slam_tpu.ops.preprocess import NEAR_CULL_Z
 from photo_slam_tpu.utils.math import quat_multiply, rotmat_to_quat
 

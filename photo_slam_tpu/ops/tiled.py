@@ -16,7 +16,7 @@ cuda_rasterizer/backward.cu:398-557).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+
 
 import jax
 import jax.numpy as jnp
@@ -203,8 +203,7 @@ def render_pallas(
     the TPU answer to the reference backward's atomicAdd accumulation
     (cuda_rasterizer/backward.cu:398-557).
     """
-    from photo_slam_tpu.ops.pallas.blend import (
-        FEAT, PIX_LANE, PIX_SUB, TILE_PS, pallas_blend)
+    from photo_slam_tpu.ops.pallas.blend import FEAT, TILE_PS, pallas_blend
 
     tile = TILE_PS
     gx, gy = tile_grid(width, height, tile)

@@ -20,7 +20,7 @@ Depth comes from the RGBD sensor directly or from stereo SGBM disparity.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 import numpy as np

@@ -318,6 +318,57 @@ class GaussianTrainer:
             self.metrics.num_live = int(gm.num_live(self.state))
         return {k: v for k, v in metrics.items()}
 
+    def train_iteration_batched(self, kfs: list[Keyframe],
+                                fetch_metrics: bool = True) -> dict[str, Any]:
+        """One multi-view optimization step over B keyframes (all at full
+        resolution with a shared camera). Single-chip this fuses B view
+        losses into one mean-gradient step; under a device mesh the batch
+        axis shards across chips (parallel/sharding.py) — capability beyond
+        the reference's strictly sequential per-view iterations."""
+        import jax.numpy as jnp
+
+        from photo_slam_tpu.ops.camera_math import CameraMatrices
+        from photo_slam_tpu.parallel.sharding import train_step_batched
+
+        if not kfs:
+            return {}
+        self.iteration += 1
+        it = self.iteration
+        o = self.cfg.opt
+        if it % 1000 == 0 and self.default_sh < self.cfg.model.sh_degree:
+            self.default_sh += 1
+
+        cam0 = kfs[0].camera
+        cams = CameraMatrices(
+            viewmatrix=jnp.stack([k.matrices.viewmatrix for k in kfs]),
+            full_proj=jnp.stack([k.matrices.full_proj for k in kfs]),
+            cam_center=jnp.stack([k.matrices.cam_center for k in kfs]),
+        )
+        gts = jnp.stack([jnp.asarray(k.image) for k in kfs])
+        masks = jnp.stack([jnp.asarray(k.camera.undistort_mask())
+                           for k in kfs])
+        r = self.cfg.renderer
+        settings = RenderSettings(
+            width=cam0.width, height=cam0.height,
+            tan_fovx=float(np.tan(0.5 * cam0.fovx)),
+            tan_fovy=float(np.tan(0.5 * cam0.fovy)),
+            sh_degree=self.default_sh, tile=r.tile,
+            max_tiles_per_gaussian=r.max_tiles_per_gaussian,
+            max_per_tile=r.max_per_tile, tiles_per_chunk=r.tiles_per_chunk,
+        )
+        lrs = self._current_lrs(kfs[0])
+        self.state, self.opt_state, metrics = train_step_batched(
+            self.state, self.opt_state, cams, gts, masks, lrs, self.bg_color,
+            jnp.float32(o.lambda_dssim), settings)
+        self.metrics.iteration = it
+        if fetch_metrics:
+            loss = float(metrics["loss"])
+            self.ema_loss = 0.4 * loss + 0.6 * self.ema_loss
+            self.metrics.last_loss = loss
+            self.metrics.ema_loss = self.ema_loss
+            self.metrics.num_live = int(gm.num_live(self.state))
+        return metrics
+
     # -- offline loop ------------------------------------------------------------
 
     def train(self, num_iterations: Optional[int] = None,

@@ -21,8 +21,7 @@ def main():
     width, height = 1200, 680
     fovx = 1.2
     pts, cols = room_scene(n)
-    state = gm.create_from_pcd(pts, cols, sh_degree=3,
-                               capacity=gm.round_capacity(n, minimum=n))
+    state = gm.create_from_pcd(pts, cols, sh_degree=3, capacity=n)
     opt_state = optim.init_adam(state.params)
     cam = build_camera_matrices(np.eye(3), np.zeros(3), 0.01, 100.0, fovx,
                                 fovx * height / width)

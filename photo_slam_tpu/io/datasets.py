@@ -46,8 +46,14 @@ class ReplicaDataset:
     def __init__(self, seq_dir, camera_id: int = 0, load_depth_maps=True):
         self.seq_dir = Path(seq_dir)
         results = self.seq_dir / "results"
+        if not results.is_dir():
+            raise FileNotFoundError(
+                f"not a Replica sequence: {results} does not exist "
+                f"(expected <seq>/results/frame*, depth*)")
         self.rgb_files = sorted(results.glob("frame*"))
         self.depth_files = sorted(results.glob("depth*"))
+        if not self.rgb_files:
+            raise FileNotFoundError(f"no frame* images under {results}")
         self.load_depth_maps = load_depth_maps
         self.poses = self._load_traj(self.seq_dir / "traj.txt")
         self.camera = Camera(camera_id=camera_id, model_id=PINHOLE,
@@ -116,6 +122,9 @@ class TumDataset:
                  with_depth=True):
         self.seq_dir = Path(seq_dir)
         self.camera = camera
+        if not (self.seq_dir / "rgb.txt").exists():
+            raise FileNotFoundError(
+                f"not a TUM sequence: {self.seq_dir}/rgb.txt missing")
         rgb = _read_tum_list(self.seq_dir / "rgb.txt")
         self.with_depth = with_depth and (self.seq_dir / "depth.txt").exists()
         if self.with_depth:
@@ -171,6 +180,9 @@ class EurocDataset:
     @staticmethod
     def _read_cam(cam_dir):
         csv = cam_dir / "data.csv"
+        if not csv.exists():
+            raise FileNotFoundError(
+                f"not a EuRoC sequence: {csv} missing")
         entries = []
         for line in csv.read_text().splitlines():
             if line.startswith("#") or not line.strip():

@@ -406,6 +406,8 @@ class GaussianMapper:
                                      self.cfg.mapper.z_near,
                                      self.cfg.mapper.z_far,
                                      cam.fovx, cam.fovy)
+        from photo_slam_tpu.ops.render import default_render_mode
+
         state = self.trainer.state
         settings = RenderSettings(
             width=width, height=height,
@@ -413,7 +415,8 @@ class GaussianMapper:
             tan_fovy=float(np.tan(cam.fovy / 2)),
             sh_degree=self.trainer.default_sh,
             max_tiles_per_gaussian=self.cfg.renderer.max_tiles_per_gaussian,
-            max_per_tile=self.cfg.renderer.max_per_tile)
+            max_per_tile=self.cfg.renderer.max_per_tile,
+            mode=default_render_mode())
         scales, quats, opac = gm.activated(state.params)
         res = render(state.params.xyz, scales, quats, opac, mats, settings,
                      self.trainer.bg_color, shs=gm.sh_features(state.params),

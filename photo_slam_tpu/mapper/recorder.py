@@ -20,6 +20,8 @@ from photo_slam_tpu.ops.render import RenderSettings, render
 
 def render_keyframe(mapper, kf):
     """Render one keyframe at full resolution from the current map."""
+    from photo_slam_tpu.ops.render import default_render_mode
+
     cam = kf.camera
     settings = RenderSettings(
         width=cam.width, height=cam.height,
@@ -27,7 +29,8 @@ def render_keyframe(mapper, kf):
         tan_fovy=float(np.tan(cam.fovy / 2)),
         sh_degree=mapper.trainer.default_sh,
         max_tiles_per_gaussian=mapper.cfg.renderer.max_tiles_per_gaussian,
-        max_per_tile=mapper.cfg.renderer.max_per_tile)
+        max_per_tile=mapper.cfg.renderer.max_per_tile,
+        mode=default_render_mode())
     state = mapper.trainer.state
     scales, quats, opac = gm.activated(state.params)
     res = render(state.params.xyz, scales, quats, opac, kf.matrices, settings,

@@ -271,11 +271,13 @@ class GaussianTrainer:
         tan_fovx = float(np.tan(0.5 * kf.camera.fovx))
         tan_fovy = float(np.tan(0.5 * kf.camera.fovy))
         r = self.cfg.renderer
+        from photo_slam_tpu.ops.render import default_render_mode
         settings = RenderSettings(
             width=width, height=height, tan_fovx=tan_fovx, tan_fovy=tan_fovy,
             sh_degree=self.default_sh, tile=r.tile,
             max_tiles_per_gaussian=r.max_tiles_per_gaussian,
             max_per_tile=r.max_per_tile, tiles_per_chunk=r.tiles_per_chunk,
+            mode=default_render_mode(),
         )
 
         lrs = self._current_lrs(kf)
@@ -348,6 +350,7 @@ class GaussianTrainer:
         masks = jnp.stack([jnp.asarray(k.camera.undistort_mask())
                            for k in kfs])
         r = self.cfg.renderer
+        from photo_slam_tpu.ops.render import default_render_mode
         settings = RenderSettings(
             width=cam0.width, height=cam0.height,
             tan_fovx=float(np.tan(0.5 * cam0.fovx)),
@@ -355,6 +358,7 @@ class GaussianTrainer:
             sh_degree=self.default_sh, tile=r.tile,
             max_tiles_per_gaussian=r.max_tiles_per_gaussian,
             max_per_tile=r.max_per_tile, tiles_per_chunk=r.tiles_per_chunk,
+            mode=default_render_mode(),
         )
         lrs = self._current_lrs(kfs[0])
         self.state, self.opt_state, metrics = train_step_batched(

@@ -22,6 +22,18 @@ from photo_slam_tpu.ops import tiled as tiled_mod
 from photo_slam_tpu.ops.camera_math import CameraMatrices
 
 
+def default_render_mode() -> str:
+    """'pallas' on TPU-like platforms, 'tiled' elsewhere (the Pallas kernels
+    only run interpreted off-TPU, which is far slower than the jnp path)."""
+    import jax
+
+    dev = jax.devices()[0]
+    if dev.platform in ("tpu", "axon") or "TPU" in str(
+            getattr(dev, "device_kind", "")):
+        return "pallas"
+    return "tiled"
+
+
 class RenderSettings(NamedTuple):
     """Static rasterization settings (shapes/FoV are compile-time constants)."""
 

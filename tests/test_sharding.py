@@ -78,3 +78,10 @@ class TestMultichip:
                 1 - losses.ssim(masked, gts[i]))
             singles.append(float(li))
         assert batch_val == pytest.approx(np.mean(singles), rel=1e-5)
+
+
+def test_default_render_mode_cpu():
+    """On the CPU test platform the mode helper must pick the jnp path
+    (pallas would run interpreted); TPU runs pick 'pallas'."""
+    from photo_slam_tpu.ops.render import default_render_mode
+    assert default_render_mode() == "tiled"

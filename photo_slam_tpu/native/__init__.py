@@ -1,12 +1,20 @@
 """Native (C++) runtime components, loaded over ctypes.
 
 The reference keeps its host-side hot loops in C++ (g2o optimization, image
-plumbing); here the native core is `pose_ba.cpp` — motion-only bundle
-adjustment used by the tracking frontend (the role of ORB-SLAM3's
-Optimizer::PoseOptimization, reference: ORB-SLAM3/src/Optimizer.cc).
+plumbing); here the native cores are:
 
-The shared library builds on first use with g++ (cached next to the source);
-`pose_optimize` falls back to a numpy implementation when no compiler exists.
+  * `pose_ba.cpp` — motion-only bundle adjustment used by the tracking
+    frontend (the role of ORB-SLAM3's Optimizer::PoseOptimization,
+    reference: ORB-SLAM3/src/Optimizer.cc);
+  * `slam_opt.cpp` — sliding-window local BA with Schur complement (the
+    role of Optimizer::LocalBundleAdjustment, reference:
+    ORB-SLAM3/src/Optimizer.cc:1116) and SE3 pose-graph optimization (the
+    role of Optimizer::OptimizeEssentialGraph, reference:
+    ORB-SLAM3/src/Optimizer.cc:1762).
+
+The shared libraries build on first use with g++ (cached next to the
+source); every entry point falls back to a numpy implementation when no
+compiler exists.
 """
 from __future__ import annotations
 
@@ -146,3 +154,297 @@ def pose_optimize(points_world: np.ndarray, obs_px: np.ndarray, fx, fy, cx,
 
 def native_available() -> bool:
     return _load() is not None
+
+
+# ---------------------------------------------------------------------------
+# slam_opt: local BA + pose graph (native with numpy fallbacks)
+# ---------------------------------------------------------------------------
+
+_SLAM_LIB_PATH = _SRC_DIR / "libslam_opt.so"
+_slam_lib: Optional[ctypes.CDLL] = None
+_slam_build_failed = False
+
+
+def _load_slam() -> Optional[ctypes.CDLL]:
+    global _slam_lib, _slam_build_failed
+    if _slam_lib is not None or _slam_build_failed:
+        return _slam_lib
+    src = _SRC_DIR / "slam_opt.cpp"
+    try:
+        if (not _SLAM_LIB_PATH.exists()
+                or _SLAM_LIB_PATH.stat().st_mtime < src.stat().st_mtime):
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                 str(src), "-o", str(_SLAM_LIB_PATH)],
+                check=True, capture_output=True, timeout=120)
+        lib = ctypes.CDLL(str(_SLAM_LIB_PATH))
+        f64 = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        i32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        lib.local_ba.restype = ctypes.c_int
+        lib.local_ba.argtypes = [
+            ctypes.c_int, ctypes.c_int, f64, ctypes.c_int, f64,
+            ctypes.c_int, i32, i32, f64,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_int,
+        ]
+        lib.pose_graph_optimize.restype = ctypes.c_int
+        lib.pose_graph_optimize.argtypes = [
+            ctypes.c_int, ctypes.c_int, f64, ctypes.c_int, i32, i32, f64,
+            f64, ctypes.c_int,
+        ]
+        _slam_lib = lib
+    except Exception:
+        _slam_build_failed = True
+    return _slam_lib
+
+
+def _local_ba_numpy(poses, n_fixed, points, obs_pose, obs_point, obs_uv,
+                    fx, fy, cx, cy, huber, chi2, iters):
+    """Dense-GN fallback (no Schur): state = free poses (6 each) + points."""
+    n_poses, n_points, n_obs = len(poses), len(points), len(obs_pose)
+    n_free = n_poses - n_fixed
+    np_dim = 6 * n_free
+
+    def project_all(P, X):
+        T = P[obs_pose]
+        pw = X[obs_point]
+        xc = np.einsum("oij,oj->oi", T[:, :3, :3], pw) + T[:, :3, 3]
+        z = np.maximum(xc[:, 2], 1e-9)
+        uv = np.stack([fx * xc[:, 0] / z + cx, fy * xc[:, 1] / z + cy], 1)
+        return uv, xc
+
+    def cost_of(P, X):
+        uv, xc = project_all(P, X)
+        e = np.linalg.norm(uv - obs_uv, axis=1)
+        c = np.where(e <= huber, 0.5 * e**2, huber * (e - 0.5 * huber))
+        c = np.where(xc[:, 2] > 1e-6, c, huber * huber)
+        return c.sum()
+
+    P = poses.copy()
+    X = points.copy()
+    lam = 1e-5
+    cost = cost_of(P, X)
+    dim = np_dim + 3 * n_points
+    for _ in range(iters):
+        uv, xc = project_all(P, X)
+        ok = xc[:, 2] > 1e-6
+        r = uv - obs_uv
+        e = np.linalg.norm(r, axis=1)
+        w = np.where(e <= huber, 1.0, huber / np.maximum(e, 1e-12))
+        w = np.where(ok, w, 0.0)
+        iz = 1.0 / np.maximum(xc[:, 2], 1e-9)
+        Ju = np.stack([fx * iz, np.zeros_like(iz), -fx * xc[:, 0] * iz**2], 1)
+        Jv = np.stack([np.zeros_like(iz), fy * iz, -fy * xc[:, 1] * iz**2], 1)
+        rot = lambda Jp: -np.stack([
+            Jp[:, 1] * xc[:, 2] - Jp[:, 2] * xc[:, 1],
+            Jp[:, 2] * xc[:, 0] - Jp[:, 0] * xc[:, 2],
+            Jp[:, 0] * xc[:, 1] - Jp[:, 1] * xc[:, 0]], 1)
+        Ja = np.concatenate([Ju, rot(Ju)], 1)  # [O,6]
+        Jb = np.concatenate([Jv, rot(Jv)], 1)
+        R = P[obs_pose][:, :3, :3]
+        JuX = np.einsum("oi,oij->oj", Ju, R)  # [O,3]
+        JvX = np.einsum("oi,oij->oj", Jv, R)
+
+        H = np.zeros((dim, dim))
+        g = np.zeros(dim)
+        for o in range(n_obs):
+            idx = []
+            Jrow_u = []
+            Jrow_v = []
+            pi = obs_pose[o]
+            if pi >= n_fixed:
+                f0 = 6 * (pi - n_fixed)
+                idx.extend(range(f0, f0 + 6))
+                Jrow_u.extend(Ja[o])
+                Jrow_v.extend(Jb[o])
+            l0 = np_dim + 3 * obs_point[o]
+            idx.extend(range(l0, l0 + 3))
+            Jrow_u.extend(JuX[o])
+            Jrow_v.extend(JvX[o])
+            idx = np.array(idx)
+            Jr_u = np.array(Jrow_u)
+            Jr_v = np.array(Jrow_v)
+            H[np.ix_(idx, idx)] += w[o] * (np.outer(Jr_u, Jr_u)
+                                           + np.outer(Jr_v, Jr_v))
+            g[idx] += w[o] * (Jr_u * r[o, 0] + Jr_v * r[o, 1])
+        try:
+            dx = -np.linalg.solve(H + lam * (np.eye(dim) * (1 + np.diag(H))),
+                                  g)
+        except np.linalg.LinAlgError:
+            lam *= 10
+            continue
+        P_try = P.copy()
+        X_try = X + dx[np_dim:].reshape(-1, 3)
+        from photo_slam_tpu.utils.math import se3_exp_numpy
+        for f in range(n_free):
+            P_try[n_fixed + f] = (se3_exp_numpy(dx[6 * f:6 * f + 6])
+                                  @ P_try[n_fixed + f])
+        c2 = cost_of(P_try, X_try)
+        if c2 < cost:
+            P, X, cost, lam = P_try, X_try, c2, max(lam * 0.5, 1e-9)
+        else:
+            lam *= 10
+            if lam > 1e8:
+                break
+    uv, xc = project_all(P, X)
+    inl = ((np.linalg.norm(uv - obs_uv, axis=1) < chi2)
+           & (xc[:, 2] > 1e-6)).sum()
+    return int(inl), P, X
+
+
+def _ba_solve_once(P, n_fixed, X, op, ol, uv, fx, fy, cx, cy, huber,
+                   chi2_px, max_iters):
+    lib = _load_slam()
+    if lib is None:
+        return _local_ba_numpy(P, n_fixed, X, op, ol, uv, fx, fy, cx, cy,
+                               huber, chi2_px, max_iters)
+    flatP = np.ascontiguousarray(P.reshape(len(P), 16))
+    n = lib.local_ba(len(P), n_fixed, flatP, len(X), X, len(op), op, ol,
+                     uv, fx, fy, cx, cy, huber, chi2_px, max_iters)
+    return int(n), flatP.reshape(-1, 4, 4), X
+
+
+def _reproj_err(P, X, op, ol, uv, fx, fy, cx, cy):
+    T = P[op]
+    xc = np.einsum("oij,oj->oi", T[:, :3, :3], X[ol]) + T[:, :3, 3]
+    z = np.maximum(xc[:, 2], 1e-9)
+    u = fx * xc[:, 0] / z + cx
+    v = fy * xc[:, 1] / z + cy
+    err = np.hypot(u - uv[:, 0], v - uv[:, 1])
+    return np.where(xc[:, 2] > 1e-6, err, np.inf)
+
+
+def local_ba(poses_tcw: np.ndarray, n_fixed: int, points: np.ndarray,
+             obs_pose: np.ndarray, obs_point: np.ndarray, obs_uv: np.ndarray,
+             fx, fy, cx, cy, huber: float = 3.0, chi2_px: float = 5.0,
+             max_iters: int = 10):
+    """Sliding-window bundle adjustment (reference:
+    ORB-SLAM3/src/Optimizer.cc:1116 LocalBundleAdjustment).
+
+    poses_tcw [P,4,4] world->camera (first n_fixed held constant),
+    points [M,3] world, observations (pose idx, point idx, pixel uv).
+    Two rounds with a chi2 outlier cut between them — the role of the
+    reference's inlier re-classification between its BA stages.
+    Returns (num_inliers, poses, points) — copies, inputs untouched.
+    """
+    P = np.ascontiguousarray(poses_tcw, np.float64).copy()
+    X = np.ascontiguousarray(points, np.float64).copy()
+    op = np.ascontiguousarray(obs_pose, np.int32)
+    ol = np.ascontiguousarray(obs_point, np.int32)
+    uv = np.ascontiguousarray(obs_uv, np.float64)
+
+    it1 = max(max_iters // 2, 3)
+    _, P, X = _ba_solve_once(P, n_fixed, X, op, ol, uv, fx, fy, cx, cy,
+                             huber, chi2_px, it1)
+    for cut in (2.0 * chi2_px, chi2_px):
+        err = _reproj_err(P, X, op, ol, uv, fx, fy, cx, cy)
+        keep = err < cut
+        if keep.sum() < 6 or keep.sum() == len(op):
+            continue
+        # Points that lost all observations stay untouched by this round.
+        _, P, X = _ba_solve_once(P, n_fixed, X, op[keep], ol[keep],
+                                 np.ascontiguousarray(uv[keep]), fx, fy,
+                                 cx, cy, huber, chi2_px, max_iters)
+    err = _reproj_err(P, X, op, ol, uv, fx, fy, cx, cy)
+    return int((err < chi2_px).sum()), P, X
+
+
+def _pose_graph_numpy(poses, n_fixed, ei, ej, eT, ew, iters):
+    """Numeric-Jacobian GN fallback, same math as the native core."""
+    from photo_slam_tpu.utils.math import (se3_exp_numpy, se3_log_numpy)
+
+    P = poses.copy()
+    n_free = len(P) - n_fixed
+    if n_free <= 0:
+        return P
+    n = 6 * n_free
+
+    def resid(P, e):
+        M = np.linalg.inv(eT[e]) @ P[ei[e]] @ np.linalg.inv(P[ej[e]])
+        return se3_log_numpy(M)
+
+    def cost_of(P):
+        return sum(0.5 * ew[e] * (resid(P, e) ** 2).sum()
+                   for e in range(len(ei)))
+
+    lam = 1e-6
+    cost = cost_of(P)
+    eps = 1e-6
+    for _ in range(iters):
+        H = np.zeros((n, n))
+        g = np.zeros(n)
+        for e in range(len(ei)):
+            r0 = resid(P, e)
+            rows = []
+            for node in (ei[e], ej[e]):
+                if node < n_fixed:
+                    rows.append(None)
+                    continue
+                J = np.zeros((6, 6))
+                for d in range(6):
+                    xi = np.zeros(6)
+                    xi[d] = eps
+                    save = P[node].copy()
+                    P[node] = se3_exp_numpy(xi) @ P[node]
+                    J[:, d] = (resid(P, e) - r0) / eps
+                    P[node] = save
+                rows.append((node, J))
+            for item in rows:
+                if item is None:
+                    continue
+                node, J = item
+                f0 = 6 * (node - n_fixed)
+                g[f0:f0 + 6] += ew[e] * J.T @ r0
+                for item2 in rows:
+                    if item2 is None:
+                        continue
+                    node2, J2 = item2
+                    f1 = 6 * (node2 - n_fixed)
+                    H[f0:f0 + 6, f1:f1 + 6] += ew[e] * J.T @ J2
+        try:
+            dx = -np.linalg.solve(H + lam * (np.eye(n) * (1 + np.diag(H))), g)
+        except np.linalg.LinAlgError:
+            lam *= 10
+            continue
+        P_try = P.copy()
+        for f in range(n_free):
+            P_try[n_fixed + f] = (se3_exp_numpy(dx[6 * f:6 * f + 6])
+                                  @ P_try[n_fixed + f])
+        c2 = cost_of(P_try)
+        if c2 < cost:
+            P, cost, lam = P_try, c2, max(lam * 0.5, 1e-10)
+        else:
+            lam *= 10
+            if lam > 1e8:
+                break
+    return P
+
+
+def pose_graph_optimize(poses_tcw: np.ndarray, n_fixed: int,
+                        edges_i: np.ndarray, edges_j: np.ndarray,
+                        edges_T: np.ndarray, edges_w=None,
+                        max_iters: int = 20) -> np.ndarray:
+    """SE3 pose-graph optimization (reference:
+    ORB-SLAM3/src/Optimizer.cc:1762 OptimizeEssentialGraph).
+
+    poses_tcw [N,4,4]; edges (i, j, T_ij = Ti @ inv(Tj) measured, weight).
+    Returns corrected poses (copy).
+    """
+    P = np.ascontiguousarray(poses_tcw, np.float64).copy()
+    ei = np.ascontiguousarray(edges_i, np.int32)
+    ej = np.ascontiguousarray(edges_j, np.int32)
+    eT = np.ascontiguousarray(edges_T, np.float64)
+    ew = (np.ones(len(ei)) if edges_w is None
+          else np.ascontiguousarray(edges_w, np.float64))
+    lib = _load_slam()
+    if lib is None:
+        return _pose_graph_numpy(P, n_fixed, ei, ej, eT, ew, max_iters)
+    flat = np.ascontiguousarray(P.reshape(len(P), 16))
+    lib.pose_graph_optimize(len(P), n_fixed, flat, len(ei), ei, ej,
+                            np.ascontiguousarray(eT.reshape(len(ei), 16)),
+                            ew, max_iters)
+    return flat.reshape(-1, 4, 4)
+
+
+def slam_native_available() -> bool:
+    return _load_slam() is not None

@@ -158,3 +158,61 @@ def se3_inverse(T: np.ndarray) -> np.ndarray:
     Ti[:3, :3] = R.T
     Ti[:3, 3] = -R.T @ t
     return Ti
+
+
+def _skew(w: np.ndarray) -> np.ndarray:
+    return np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]],
+                    dtype=np.float64)
+
+
+def se3_exp_numpy(xi: np.ndarray) -> np.ndarray:
+    """SE3 exponential map; xi = (t[3], w[3]) -> 4x4 (numpy, host-side)."""
+    xi = np.asarray(xi, np.float64)
+    t, w = xi[:3], xi[3:]
+    theta = np.linalg.norm(w)
+    K = _skew(w)
+    if theta < 1e-9:
+        R = np.eye(3) + K + 0.5 * K @ K
+        V = np.eye(3) + 0.5 * K + K @ K / 6.0
+    else:
+        a = np.sin(theta) / theta
+        b = (1 - np.cos(theta)) / theta**2
+        c = (theta - np.sin(theta)) / theta**3
+        R = np.eye(3) + a * K + b * K @ K
+        V = np.eye(3) + b * K + c * K @ K
+    T = np.eye(4)
+    T[:3, :3] = R
+    T[:3, 3] = V @ t
+    return T
+
+
+def se3_log_numpy(T: np.ndarray) -> np.ndarray:
+    """SE3 logarithm map; 4x4 -> xi = (t[3], w[3]) (numpy, host-side)."""
+    R = np.asarray(T[:3, :3], np.float64)
+    tr = np.clip((np.trace(R) - 1.0) / 2.0, -1.0, 1.0)
+    theta = np.arccos(tr)
+    if theta < 1e-9:
+        w = 0.5 * np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0],
+                            R[1, 0] - R[0, 1]])
+    elif theta > np.pi - 1e-6:
+        # Near pi: axis from the diagonal of (R + I)/2.
+        ax = np.sqrt(np.maximum(np.diag(R) + 1.0, 0.0) / 2.0)
+        if R[0, 1] + R[1, 0] < 0:
+            ax[1] = -ax[1]
+        if R[0, 2] + R[2, 0] < 0:
+            ax[2] = -ax[2]
+        n = np.linalg.norm(ax)
+        w = theta * ax / n if n > 1e-12 else np.zeros(3)
+    else:
+        w = theta / (2.0 * np.sin(theta)) * np.array(
+            [R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
+    K = _skew(w)
+    theta2 = max(theta * theta, 1e-18)
+    if theta < 1e-9:
+        Vi = np.eye(3) - 0.5 * K + K @ K / 12.0
+    else:
+        c = (1.0 - theta * np.cos(theta / 2.0)
+             / (2.0 * np.sin(theta / 2.0))) / theta2
+        Vi = np.eye(3) - 0.5 * K + c * K @ K
+    t = Vi @ np.asarray(T[:3, 3], np.float64)
+    return np.concatenate([t, w])

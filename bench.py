@@ -1,11 +1,21 @@
-"""Benchmark: photorealistic splat-render FPS on one chip.
+"""Benchmark: photorealistic splat-render FPS + online train throughput.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", "extra"}.
 Baseline = the 30 FPS real-time rendering north star from BASELINE.md
 (the reference's headline claim is real-time photorealistic rendering;
 its per-keyframe render_time machinery is src/gaussian_mapper.cpp:1582-1597).
 
-Scene: 200k Gaussians (a converged-map scale for Replica-class scenes),
+Also measured and reported in "extra":
+  * train_iters_per_sec — full train step (render->loss->backward->Adam) at
+    the same scale; the reference trains online at one step per mapper-loop
+    pass (src/gaussian_mapper.cpp:614-774), so this is the metric that
+    gates online mapping.
+  * overflow / psnr_vs_exact — per-tile capacity overflow of the production
+    config and the PSNR of its image against an overflow-free render
+    (max_per_tile large enough for overflow=0), bounding the error that the
+    static tile capacity introduces.
+
+Scene: 300k Gaussians (a converged-map scale for Replica-class scenes),
 1200x680 render — the Replica camera resolution the reference benchmarks.
 Extra diagnostics go to stderr; stdout carries exactly the one JSON line.
 """
@@ -22,42 +32,27 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
+def room_scene(n, rng):
+    """Room-scale SURFACE cloud (like a converged Replica map): walls/floor/
+    ceiling of an 8x3x12 m room plus two spheres; surfaces give realistic
+    per-pixel depth complexity (~tens of overlapping splats)."""
 
-    from photo_slam_tpu.models import gaussian_model as gm
-    from photo_slam_tpu.ops.camera_math import build_camera_matrices
-    from photo_slam_tpu.ops.render import RenderSettings, render
-
-    n = 300_000
-    width, height = 1200, 680
-    fovx = 1.2
-    rng = np.random.RandomState(0)
-
-    # Room-scale SURFACE cloud (like a converged Replica map): points sampled
-    # on the walls/floor/ceiling of an 8x6x3 m room plus two spheres, camera
-    # inside looking forward. Surfaces give realistic per-pixel depth
-    # complexity (~tens of overlapping splats, not hundreds).
     def sample_box(m):
-        w, h, d = 8.0, 3.0, 12.0  # x extent, y extent, z depth
+        w, h, d = 8.0, 3.0, 12.0
         faces = []
         per = m // 5
-        # left/right walls
         for sx in (-w / 2, w / 2):
             faces.append(np.stack([
                 np.full(per, sx), rng.uniform(-h / 2, h / 2, per),
                 rng.uniform(0.2, d, per)], 1))
-        # floor / ceiling
         for sy in (-h / 2, h / 2):
             faces.append(np.stack([
                 rng.uniform(-w / 2, w / 2, per),
                 np.full(per, sy), rng.uniform(0.2, d, per)], 1))
-        # back wall
         faces.append(np.stack([
             rng.uniform(-w / 2, w / 2, m - 4 * per),
             rng.uniform(-h / 2, h / 2, m - 4 * per),
-            np.full(m - 4 * per, d)], 1))
+            np.full(m - 4 * per, 12.0)], 1))
         return np.concatenate(faces)
 
     def sample_sphere(m, center, radius):
@@ -71,46 +66,71 @@ def main():
         sample_sphere(30_000, np.array([1.5, 0.2, 6.5]), 1.1),
     ]).astype(np.float32)
     cols = rng.rand(n, 3).astype(np.float32)
+    return pts, cols
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from photo_slam_tpu.models import gaussian_model as gm
+    from photo_slam_tpu.models import optimizer as optim
+    from photo_slam_tpu.mapper.trainer import train_step
+    from photo_slam_tpu.ops.camera_math import build_camera_matrices
+    from photo_slam_tpu.ops.losses import psnr as psnr_fn
+    from photo_slam_tpu.ops.render import RenderSettings, render
+
+    n = 300_000
+    width, height = 1200, 680
+    fovx = 1.2
+    rng = np.random.RandomState(0)
+    pts, cols = room_scene(n, rng)
 
     cap = n  # serving-style render: exact capacity, no growth headroom
     state = gm.create_from_pcd(pts, cols, sh_degree=3, capacity=cap)
-    # Scale init via KNN gives realistic on-screen footprints.
 
     cam = build_camera_matrices(np.eye(3), np.zeros(3), 0.01, 100.0,
                                 fovx, fovx * height / width)
-    settings = RenderSettings(
-        width=width, height=height,
-        tan_fovx=float(np.tan(fovx / 2)),
-        tan_fovy=float(np.tan(fovx / 2) * height / width),
-        sh_degree=3,
-        mode="pallas",
-        max_tiles_per_gaussian=12,
-        max_per_tile=1024,
-    )
+
+    def make_settings(max_per_tile):
+        return RenderSettings(
+            width=width, height=height,
+            tan_fovx=float(np.tan(fovx / 2)),
+            tan_fovy=float(np.tan(fovx / 2) * height / width),
+            sh_degree=3,
+            mode="pallas",
+            max_tiles_per_gaussian=8,
+            max_per_tile=max_per_tile,
+        )
+
+    settings = make_settings(1024)
     bg = jnp.zeros(3)
 
-    @jax.jit
-    def forward(params, live):
-        scales, quats, opac = gm.activated(params)
-        shs = gm.sh_features(params)
-        res = render(params.xyz, scales, quats, opac, cam, settings, bg,
-                     shs=shs, live_mask=live)
-        return res.image, res.num_clipped, res.num_overflow
+    def forward_fn(settings):
+        @jax.jit
+        def forward(params, live):
+            scales, quats, opac = gm.activated(params)
+            shs = gm.sh_features(params)
+            res = render(params.xyz, scales, quats, opac, cam, settings, bg,
+                         shs=shs, live_mask=live)
+            return res.image, res.num_clipped, res.num_overflow
+        return forward
 
+    forward = forward_fn(settings)
     log(f"[bench] compiling render: N={n} cap={cap} {width}x{height} "
         f"on {jax.devices()[0]}")
     t0 = time.time()
     img, clipped, overflow = forward(state.params, state.live)
     img.block_until_ready()
+    clipped, overflow = int(clipped), int(overflow)
     log(f"[bench] compile+first render {time.time() - t0:.1f}s, "
-        f"clipped={int(clipped)} overflow={int(overflow)} "
+        f"clipped={clipped} overflow={overflow} "
         f"mean={float(img.mean()):.4f}")
 
-    # Warmup then measure.
+    # Warmup then measure FPS.
     for _ in range(3):
         img, _, _ = forward(state.params, state.live)
     img.block_until_ready()
-
     iters = 30
     t0 = time.time()
     for _ in range(iters):
@@ -121,11 +141,53 @@ def main():
     log(f"[bench] {iters} renders in {dt:.3f}s -> {fps:.2f} FPS "
         f"({1000 * dt / iters:.1f} ms/frame)")
 
+    # Overflow error bound: render with enough per-tile capacity for
+    # overflow=0 and measure the production config's PSNR against it.
+    psnr_vs_exact = None
+    if overflow > 0:
+        exact_fwd = forward_fn(make_settings(4096))
+        img_exact, _, ov2 = exact_fwd(state.params, state.live)
+        psnr_vs_exact = float(psnr_fn(img, img_exact))
+        log(f"[bench] exact render overflow={int(ov2)}, production-config "
+            f"PSNR vs exact = {psnr_vs_exact:.2f} dB")
+
+    # Train throughput: full step (render/loss/grad/stats/Adam).
+    opt_state = optim.init_adam(state.params)
+    lrs = optim.LearningRates.create(1.6e-4, 2.5e-3, 0.05, 5e-3, 1e-3)
+    gt = jnp.asarray(rng.rand(3, height, width).astype(np.float32))
+    mask = jnp.ones((height, width), jnp.float32)
+    lam = jnp.float32(0.2)
+    t0 = time.time()
+    state, opt_state, m = train_step(state, opt_state, cam, gt, mask, lrs,
+                                     bg, lam, settings)
+    jax.block_until_ready(m["loss"])
+    log(f"[bench] train_step compile+first {time.time() - t0:.1f}s")
+    for _ in range(3):
+        state, opt_state, m = train_step(state, opt_state, cam, gt, mask,
+                                         lrs, bg, lam, settings)
+    jax.block_until_ready(m["loss"])
+    k = 20
+    t0 = time.time()
+    for _ in range(k):
+        state, opt_state, m = train_step(state, opt_state, cam, gt, mask,
+                                         lrs, bg, lam, settings)
+    jax.block_until_ready(m["loss"])
+    tps = k / (time.time() - t0)
+    log(f"[bench] train_step: {tps:.2f} iters/s "
+        f"({1000 / tps:.1f} ms/iter) N={n}")
+
     print(json.dumps({
         "metric": "render_fps_1200x680_300k",
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / 30.0, 3),
+        "extra": {
+            "train_iters_per_sec": round(tps, 2),
+            "binning_clipped": clipped,
+            "binning_overflow": overflow,
+            "psnr_vs_exact_db": (None if psnr_vs_exact is None
+                                 else round(psnr_vs_exact, 2)),
+        },
     }))
 
 

@@ -239,6 +239,12 @@ struct BAProblem {
     const int* obs_point;
     const double* obs_uv;
     double fx, fy, cx, cy, huber;
+    // Optional depth constraints (RGBD/stereo BA, the role of ORB-SLAM3's
+    // stereo edges): residual r_d = obs_dw[o] * (z_cam - obs_depth[o]) when
+    // obs_dw[o] > 0. Anchors landmark depth so narrow-baseline windows
+    // cannot re-triangulate depth-seeded points badly.
+    const double* obs_depth;  // nullable
+    const double* obs_dw;     // nullable
 };
 
 double ba_cost(const BAProblem& p, const double* poses, const double* points) {
@@ -259,6 +265,13 @@ double ba_cost(const BAProblem& p, const double* poses, const double* points) {
         double e = std::sqrt(rx * rx + ry * ry);
         cost += (p.huber <= 0 || e <= p.huber) ? 0.5 * e * e
                                                : p.huber * (e - 0.5 * p.huber);
+        if (p.obs_dw && p.obs_dw[o] > 0) {
+            double rd = p.obs_dw[o] * (zc - p.obs_depth[o]);
+            double ed = std::fabs(rd);
+            cost += (p.huber <= 0 || ed <= p.huber)
+                        ? 0.5 * rd * rd
+                        : p.huber * (ed - 0.5 * p.huber);
+        }
     }
     return cost;
 }
@@ -274,13 +287,14 @@ extern "C" {
 // whose final reprojection error is below chi2_px (or -1 on failure).
 int local_ba(int n_poses, int n_fixed, double* poses, int n_points,
              double* points, int n_obs, const int* obs_pose,
-             const int* obs_point, const double* obs_uv, double fx, double fy,
-             double cx, double cy, double huber, double chi2_px,
+             const int* obs_point, const double* obs_uv,
+             const double* obs_depth, const double* obs_dw, double fx,
+             double fy, double cx, double cy, double huber, double chi2_px,
              int max_iters) {
     if (n_poses <= 0 || n_points <= 0 || n_obs <= 0) return -1;
     BAProblem p{n_poses, n_fixed, n_points, n_obs, poses,   points,
                 obs_pose, obs_point, obs_uv, fx,    fy,     cx,
-                cy,       huber};
+                cy,       huber,     obs_depth, obs_dw};
     int n_free = n_poses - n_fixed;
     if (n_free < 0) return -1;
     int np = 6 * n_free;
@@ -370,6 +384,39 @@ int local_ba(int n_poses, int n_fixed, double* poses, int n_points,
                     for (int b = 0; b < 3; ++b)
                         Wb[a * 3 + b] =
                             wgt * (Ja[a] * JpX[b] + Jb[a] * JpX[3 + b]);
+            }
+
+            // Depth residual (RGBD/stereo anchoring): rd = wd*(zc - d).
+            if (obs_dw && obs_dw[o] > 0) {
+                double wd = obs_dw[o];
+                double rd = wd * (zc - obs_depth[o]);
+                double ed = std::fabs(rd);
+                double wh = (huber <= 0 || ed <= huber)
+                                ? 1.0
+                                : huber / std::fmax(ed, 1e-12);
+                // Pose row: wd * [0,0,1, Xc_y, -Xc_x, 0]; point row: wd*R[2].
+                double Jd[6] = {0, 0, wd, wd * Xc[1], -wd * Xc[0], 0};
+                double JdX[3] = {wd * T[8], wd * T[9], wd * T[10]};
+                double* Hl = &Hll[9 * li];
+                double* gL = &gl[3 * li];
+                for (int a = 0; a < 3; ++a) {
+                    gL[a] += wh * JdX[a] * rd;
+                    for (int b = 0; b < 3; ++b)
+                        Hl[a * 3 + b] += wh * JdX[a] * JdX[b];
+                }
+                if (pi >= n_fixed) {
+                    int pf = pi - n_fixed;
+                    double* gP = &gp[6 * pf];
+                    double* Wb = &W[18 * o];
+                    for (int a = 0; a < 6; ++a) {
+                        gP[a] += wh * Jd[a] * rd;
+                        for (int b = 0; b < 6; ++b)
+                            Hpp[(6 * pf + a) * np + (6 * pf + b)] +=
+                                wh * Jd[a] * Jd[b];
+                        for (int b = 0; b < 3; ++b)
+                            Wb[a * 3 + b] += wh * Jd[a] * JdX[b];
+                    }
+                }
             }
         }
 

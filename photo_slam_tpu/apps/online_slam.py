@@ -42,23 +42,55 @@ def save_trajectory_tum(path, keyframes) -> None:
     Path(path).write_text("\n".join(lines) + "\n")
 
 
+def _make_tracker(frontend: str, dataset, sensor: SensorType,
+                  keyframe_every: int, num_keypoints: int):
+    if frontend == "gt":
+        return GroundTruthTracker(dataset.camera,
+                                  keyframe_every=keyframe_every,
+                                  num_keypoints=num_keypoints)
+    if frontend == "vo":
+        from photo_slam_tpu.tracking.vo_tracker import OrbVoTracker
+        return OrbVoTracker(dataset.camera)
+    from photo_slam_tpu.tracking.frontend import SlamFrontend
+    sensor_name = {SensorType.MONOCULAR: "mono", SensorType.STEREO: "stereo",
+                   SensorType.RGBD: "rgbd"}[sensor]
+    return SlamFrontend(dataset.camera, sensor=sensor_name,
+                        num_features=max(num_keypoints, 1000))
+
+
 def run_online(dataset, sensor: SensorType, cfg: Config, out_dir,
                keyframe_every: int = 10, num_keypoints: int = 800,
-               max_iterations=None, threaded: bool = True) -> GaussianMapper:
+               max_iterations=None, threaded: bool = True,
+               frontend: str = "slam") -> GaussianMapper:
+    """Drive a sequence through tracker + mapper (reference:
+    examples/replica_rgbd.cpp main). `frontend` selects the tracking stack:
+    "slam" (full feature frontend: local map + local BA + loop closing),
+    "vo" (plain ORB+PnP odometry), or "gt" (dataset ground-truth poses)."""
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     mapper = GaussianMapper(cfg, sensor, result_dir=out)
     mapper.add_camera(dataset.camera)
-    tracker = GroundTruthTracker(dataset.camera,
-                                 keyframe_every=keyframe_every,
-                                 num_keypoints=num_keypoints)
+    tracker = _make_tracker(frontend, dataset, sensor, keyframe_every,
+                            num_keypoints)
+
+    # Stream frames through the tracker while recording GT for ATE.
+    gt_poses: list = []
+    stamps: list = []
+
+    def frames_with_gt():
+        for i, fr in enumerate(dataset.frames()):
+            gt_poses.append(se3_matrix(fr.quat_wxyz, fr.trans)
+                            if fr.quat_wxyz is not None else None)
+            stamps.append(fr.timestamp if fr.timestamp is not None
+                          else float(i))
+            yield fr
 
     t0 = time.time()
     if threaded:
         # Tracker runs in its own thread like the reference's main/tracking
         # thread vs the mapper thread (reference: examples/replica_rgbd.cpp:112).
         th = threading.Thread(
-            target=tracker.run, args=(dataset.frames(), mapper.queue.push),
+            target=tracker.run, args=(frames_with_gt(), mapper.queue.push),
             daemon=True)
         th.start()
         mapper.run(is_tracker_done=lambda: tracker.done,
@@ -66,29 +98,59 @@ def run_online(dataset, sensor: SensorType, cfg: Config, out_dir,
                    max_iterations=max_iterations)
         th.join()
     else:
-        tracker.run(dataset.frames(), mapper.queue.push)
+        tracker.run(frames_with_gt(), mapper.queue.push)
         mapper.run(is_tracker_done=lambda: True,
                    live_kf_ids=lambda: tracker.live_kf_ids,
                    max_iterations=max_iterations)
     wall = time.time() - t0
 
-    save_trajectory_tum(out / "CameraTrajectory_TUM.txt",
-                        mapper.scene.keyframes)
+    # Trajectory outputs: the reference's 5-file set + ATE RMSE when the
+    # tracker estimated poses and GT is available.
+    from photo_slam_tpu.utils.trajectory import save_all_formats
+    ate = None
+    est_tcw = getattr(tracker, "trajectory", None)
+    kf_stamps = []
+    kf_tcw = []
+    for fid, kf in sorted(mapper.scene.keyframes.items()):
+        kf_stamps.append(float(fid))
+        kf_tcw.append(se3_matrix(kf.quat, kf.trans))
+    if est_tcw:
+        n = min(len(est_tcw), len(stamps))
+        save_all_formats(out, stamps[:n], est_tcw[:n], kf_stamps, kf_tcw)
+        gts = [g for g, e in zip(gt_poses[:n], est_tcw[:n])
+               if g is not None]
+        ests = [e for g, e in zip(gt_poses[:n], est_tcw[:n])
+                if g is not None]
+        if len(gts) >= 3:
+            from photo_slam_tpu.utils.evaluate import ate_rmse
+            gt_pos = np.stack([se3_inverse(g)[:3, 3] for g in gts])
+            est_pos = np.stack([se3_inverse(e)[:3, 3] for e in ests])
+            try:
+                ate = float(ate_rmse(est_pos, gt_pos))
+            except Exception:
+                ate = None
+    else:
+        # GT frontend: keyframe poses are the trajectory.
+        save_all_formats(out, kf_stamps, kf_tcw, kf_stamps, kf_tcw)
+
     from photo_slam_tpu.utils.profiling import device_memory_stats
     (out / "run_summary.json").write_text(json.dumps({
         "wall_seconds": wall,
+        "frontend": frontend,
         "iterations": mapper.trainer.iteration,
         "iters_per_sec": mapper.trainer.iteration / max(wall, 1e-9),
         "num_keyframes": len(mapper.scene.keyframes),
         "num_gaussians": mapper.trainer.metrics.num_live,
         "ema_loss": mapper.trainer.ema_loss,
+        "ate_rmse": ate,
+        "loops_closed": getattr(tracker, "num_loops_closed", 0),
         # GpuPeakUsageMB-equivalent (reference: examples/replica_rgbd.cpp:235)
         "device_memory": device_memory_stats(),
     }, indent=2))
     print(f"[online_slam] {mapper.trainer.iteration} iters, "
           f"{len(mapper.scene.keyframes)} kfs, "
           f"{mapper.trainer.metrics.num_live} gaussians, "
-          f"{wall:.1f}s -> {out}")
+          f"ate={ate}, {wall:.1f}s -> {out}")
     return mapper
 
 
@@ -99,6 +161,10 @@ def _common_parser():
     ap.add_argument("--cfg", default=None, help="gaussian_mapper yaml")
     ap.add_argument("--iters", type=int, default=None)
     ap.add_argument("--keyframe-every", type=int, default=10)
+    ap.add_argument("--frontend", choices=("slam", "vo", "gt"),
+                    default="slam",
+                    help="tracking stack: full feature SLAM (default), "
+                         "plain ORB+PnP odometry, or ground-truth poses")
     return ap
 
 
@@ -109,20 +175,21 @@ def replica_rgbd(argv=None):
     ds = ReplicaDataset(args.data)
     return run_online(ds, SensorType.RGBD, cfg, args.out,
                       keyframe_every=args.keyframe_every,
-                      max_iterations=args.iters)
+                      max_iterations=args.iters, frontend=args.frontend)
 
 
 def replica_mono(argv=None):
     from photo_slam_tpu.io.datasets import ReplicaDataset
     args = _common_parser().parse_args(argv)
     cfg = load_reference_yaml(args.cfg) if args.cfg else Config()
-    ds = ReplicaDataset(args.data, load_depth_maps=True)
+    ds = ReplicaDataset(args.data,
+                        load_depth_maps=(args.frontend == "gt"))
     # Monocular: the tracker still triangulates sparse keypoints (from GT
     # depth, standing in for ORB triangulation) but the mapper runs the
     # monocular densification path.
     return run_online(ds, SensorType.MONOCULAR, cfg, args.out,
                       keyframe_every=args.keyframe_every,
-                      max_iterations=args.iters)
+                      max_iterations=args.iters, frontend=args.frontend)
 
 
 def tum_rgbd(argv=None):
@@ -143,7 +210,7 @@ def tum_rgbd(argv=None):
     ds = TumDataset(args.data, cam)
     return run_online(ds, SensorType.RGBD, cfg, args.out,
                       keyframe_every=args.keyframe_every,
-                      max_iterations=args.iters)
+                      max_iterations=args.iters, frontend=args.frontend)
 
 
 def tum_mono(argv=None):
@@ -163,10 +230,10 @@ def tum_mono(argv=None):
                  cy=args.cy)
     # Monocular: depth maps (when present) only seed sparse keypoints, the
     # mapper runs the monocular neighbor-depth densification path.
-    ds = TumDataset(args.data, cam, with_depth=True)
+    ds = TumDataset(args.data, cam, with_depth=(args.frontend == "gt"))
     return run_online(ds, SensorType.MONOCULAR, cfg, args.out,
                       keyframe_every=args.keyframe_every,
-                      max_iterations=args.iters)
+                      max_iterations=args.iters, frontend=args.frontend)
 
 
 def euroc_stereo(argv=None):
@@ -176,13 +243,15 @@ def euroc_stereo(argv=None):
     ap.add_argument("--bf", type=float, default=47.9)  # baseline * fx
     args = ap.parse_args(argv)
     cfg = load_reference_yaml(args.cfg) if args.cfg else Config()
+    # Fallback intrinsics only: with sensor.yaml calibration present the
+    # loader rectifies and derives the camera itself.
     cam = Camera(camera_id=0, model_id=PINHOLE, width=752, height=480,
                  fx=458.654, fy=457.296, cx=367.215, cy=248.375,
                  stereo_bf=args.bf)
     ds = EurocDataset(args.data, cam)
     return run_online(ds, SensorType.STEREO, cfg, args.out,
                       keyframe_every=args.keyframe_every,
-                      max_iterations=args.iters)
+                      max_iterations=args.iters, frontend=args.frontend)
 
 
 if __name__ == "__main__":

@@ -121,8 +121,20 @@ class RendererParams:
     max_tiles_per_gaussian: int = 64
     max_per_tile: int = 512
     tiles_per_chunk: int = 16
+    # Pallas-kernel path capacities (32px tiles -> 4x the pixel area per
+    # tile, so fewer tiles per Gaussian and more entries per tile). The
+    # duplication factor directly scales the binning sort and the gradient
+    # transpose, so keep it tight; overflow counters surface when it clips.
+    pallas_max_tiles_per_gaussian: int = 8
+    pallas_max_per_tile: int = 1024
     initial_capacity: int = 32768
     capacity_headroom: float = 0.25  # grow when free slots < this fraction
+
+    def caps_for_mode(self, mode: str) -> tuple[int, int]:
+        """(max_tiles_per_gaussian, max_per_tile) for a render mode."""
+        if mode == "pallas":
+            return self.pallas_max_tiles_per_gaussian, self.pallas_max_per_tile
+        return self.max_tiles_per_gaussian, self.max_per_tile
 
 
 @dataclass

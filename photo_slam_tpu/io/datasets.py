@@ -20,7 +20,7 @@ import numpy as np
 from photo_slam_tpu.io.images import load_depth, load_image_chw
 from photo_slam_tpu.models.camera import PINHOLE, Camera
 from photo_slam_tpu.tracking.gt_tracker import Frame
-from photo_slam_tpu.utils.math import rotmat_to_quat
+from photo_slam_tpu.utils.math import quat_to_rotmat, rotmat_to_quat
 
 import jax.numpy as jnp
 
@@ -167,15 +167,138 @@ class TumDataset:
 
 
 # ---------------------------------------------------------------------------
-# EuRoC stereo (mav0/cam0, mav0/cam1 + data.csv timestamps)
+# EuRoC stereo (mav0/cam0, mav0/cam1 + data.csv timestamps, sensor.yaml
+# calibration, state_groundtruth_estimate0 trajectory)
 # ---------------------------------------------------------------------------
 
+
+def _parse_euroc_sensor_yaml(path):
+    """Parse the fields we need from a EuRoC sensor.yaml without a YAML
+    dependency: T_BS (4x4 sensor-to-body), intrinsics [fu fv cu cv],
+    distortion_coefficients, resolution."""
+    import re
+
+    text = Path(path).read_text()
+
+    def grab_list(key):
+        m = re.search(key + r":.*?\[(.*?)\]", text, re.S)
+        if m is None:
+            return None
+        return [float(x) for x in m.group(1).replace("\n", " ").split(",")]
+
+    t_bs = grab_list(r"T_BS:\s*\n.*?data")
+    intr = grab_list("intrinsics")
+    dist = grab_list("distortion_coefficients")
+    res = grab_list("resolution")
+    out = {}
+    if t_bs and len(t_bs) == 16:
+        out["T_BS"] = np.array(t_bs).reshape(4, 4)
+    if intr:
+        out["intrinsics"] = intr
+    if dist:
+        out["distortion"] = dist
+    if res:
+        out["resolution"] = [int(r) for r in res]
+    return out
+
+
 class EurocDataset:
-    def __init__(self, seq_dir, camera: Camera, camera_id: int = 0):
+    """EuRoC MAV stereo loader with calibrated rectification and GT poses.
+
+    The reference feeds raw EuRoC pairs to ORB-SLAM3, which rectifies
+    internally from the settings yaml (reference: examples/euroc_stereo.cpp +
+    ORB-SLAM3 Settings.cc rectification); here rectification happens in the
+    loader (cv2.stereoRectify from the two sensor.yaml calibrations) so every
+    consumer — the SLAM frontend's SGBM disparity, the mapper's stereo
+    densify — sees rectified pinhole images. Ground truth comes from
+    mav0/state_groundtruth_estimate0/data.csv (body poses T_WB), converted
+    to rectified-cam0 world->camera transforms via T_BS and the rectifying
+    rotation R1.
+    """
+
+    def __init__(self, seq_dir, camera: Optional[Camera] = None,
+                 camera_id: int = 0, max_frames: Optional[int] = None):
         self.seq_dir = Path(seq_dir)
-        self.camera = camera
-        self.left = self._read_cam(self.seq_dir / "mav0" / "cam0")
-        self.right = self._read_cam(self.seq_dir / "mav0" / "cam1")
+        mav = self.seq_dir / "mav0"
+        self.left = self._read_cam(mav / "cam0")
+        self.right = self._read_cam(mav / "cam1")
+        self.max_frames = max_frames
+        self._maps = None
+        self.R1 = np.eye(3)
+        self.T_BC0 = np.eye(4)
+
+        cal0 = (_parse_euroc_sensor_yaml(mav / "cam0" / "sensor.yaml")
+                if (mav / "cam0" / "sensor.yaml").exists() else {})
+        cal1 = (_parse_euroc_sensor_yaml(mav / "cam1" / "sensor.yaml")
+                if (mav / "cam1" / "sensor.yaml").exists() else {})
+        if ("intrinsics" in cal0 and "intrinsics" in cal1
+                and "T_BS" in cal0 and "T_BS" in cal1):
+            self._setup_rectification(cal0, cal1, camera_id)
+        else:
+            if camera is None:
+                raise FileNotFoundError(
+                    f"no sensor.yaml calibration under {mav}/cam*/ and no "
+                    f"explicit camera given")
+            self.camera = camera
+
+        # Ground truth: body poses in world (p_RS_R, q_RS in w,x,y,z order).
+        self.gt_times = None
+        self.gt_T_WB = None
+        gt_csv = mav / "state_groundtruth_estimate0" / "data.csv"
+        if gt_csv.exists():
+            rows = []
+            for line in gt_csv.read_text().splitlines():
+                if line.startswith("#") or not line.strip():
+                    continue
+                vals = line.strip().split(",")
+                rows.append([float(v) for v in vals[:8]])
+            if rows:
+                arr = np.array(rows)
+                self.gt_times = arr[:, 0]  # ns
+                mats = []
+                for r in arr:
+                    q = np.array([r[4], r[5], r[6], r[7]])  # w x y z
+                    T = np.eye(4)
+                    T[:3, :3] = np.asarray(quat_to_rotmat(
+                        jnp.asarray(q / np.linalg.norm(q))))
+                    T[:3, 3] = r[1:4]
+                    mats.append(T)
+                self.gt_T_WB = np.stack(mats)
+
+    def _setup_rectification(self, cal0, cal1, camera_id):
+        import cv2
+
+        fu0, fv0, cu0, cv0_ = cal0["intrinsics"]
+        fu1, fv1, cu1, cv1_ = cal1["intrinsics"]
+        K0 = np.array([[fu0, 0, cu0], [0, fv0, cv0_], [0, 0, 1]])
+        K1 = np.array([[fu1, 0, cu1], [0, fv1, cv1_], [0, 0, 1]])
+        D0 = np.array(cal0.get("distortion", [0, 0, 0, 0])[:4])
+        D1 = np.array(cal1.get("distortion", [0, 0, 0, 0])[:4])
+        w, h = cal0.get("resolution", [752, 480])
+        self.T_BC0 = cal0["T_BS"]
+        T_BC1 = cal1["T_BS"]
+        # cam1 <- cam0 transform: T_C1C0 = inv(T_BC1) @ T_BC0.
+        T_10 = np.linalg.inv(T_BC1) @ self.T_BC0
+        R = np.ascontiguousarray(T_10[:3, :3])
+        T = np.ascontiguousarray(T_10[:3, 3]).reshape(3, 1)
+        R1, R2, P1, P2, _Q, _roi1, _roi2 = cv2.stereoRectify(
+            K0, D0, K1, D1, (int(w), int(h)), R, T,
+            flags=cv2.CALIB_ZERO_DISPARITY, alpha=0)
+        self.R1 = R1
+        # Kept for diagnostics/tests of the rectification geometry.
+        self._T_BC1 = T_BC1
+        self._R1dbg, self._R2dbg = R1, R2
+        self._P1dbg, self._P2dbg = P1, P2
+        m0 = cv2.initUndistortRectifyMap(K0, D0, R1, P1, (w, h), cv2.CV_32FC1)
+        m1 = cv2.initUndistortRectifyMap(K1, D1, R2, P2, (w, h), cv2.CV_32FC1)
+        self._maps = (m0, m1)
+        fx, fy = P1[0, 0], P1[1, 1]
+        cx, cy = P1[0, 2], P1[1, 2]
+        baseline = abs(P2[0, 3] / P2[0, 0])
+        self.camera = Camera(camera_id=camera_id, model_id=PINHOLE,
+                             width=int(w), height=int(h), fx=float(fx),
+                             fy=float(fy), cx=float(cx), cy=float(cy),
+                             stereo_bf=float(fx * baseline))
 
     @staticmethod
     def _read_cam(cam_dir):
@@ -188,16 +311,50 @@ class EurocDataset:
             if line.startswith("#") or not line.strip():
                 continue
             ts, name = line.strip().split(",")[:2]
-            entries.append((int(ts), cam_dir / "data" / name))
+            entries.append((int(ts), cam_dir / "data" / name.strip()))
         return entries
 
     def __len__(self):
-        return min(len(self.left), len(self.right))
+        n = min(len(self.left), len(self.right))
+        return n if self.max_frames is None else min(n, self.max_frames)
+
+    def _rectify(self, img_chw, maps):
+        import cv2
+
+        hwc = np.transpose(img_chw, (1, 2, 0))
+        out = cv2.remap(hwc, maps[0], maps[1], cv2.INTER_LINEAR)
+        if out.ndim == 2:
+            out = out[..., None].repeat(3, axis=2)
+        return np.transpose(out, (2, 0, 1))
+
+    def _pose_at(self, ts_ns):
+        """world->rectified-cam0 at the nearest GT timestamp."""
+        if self.gt_times is None:
+            return None, None
+        i = int(np.argmin(np.abs(self.gt_times - ts_ns)))
+        if abs(self.gt_times[i] - ts_ns) > 50e6:  # >50ms gap: no GT
+            return None, None
+        T_WB = self.gt_T_WB[i]
+        T_WC = T_WB @ self.T_BC0          # raw cam0 in world
+        # Rectified cam frame: X_rect = R1 @ X_cam -> T_WCrect = T_WC @ R1^T.
+        T_WCr = T_WC.copy()
+        T_WCr[:3, :3] = T_WC[:3, :3] @ self.R1.T
+        T_CrW = np.linalg.inv(T_WCr)
+        q = np.asarray(rotmat_to_quat(jnp.asarray(T_CrW[:3, :3])))
+        return q, T_CrW[:3, 3]
 
     def frames(self) -> Iterator[Frame]:
-        for (ts, lp), (_, rp) in zip(self.left, self.right):
+        n = len(self)
+        for i, ((ts, lp), (_, rp)) in enumerate(zip(self.left, self.right)):
+            if i >= n:
+                break
             img = load_image_chw(lp)
             right = load_image_chw(rp)
-            yield Frame(image=img, quat_wxyz=np.array([1.0, 0, 0, 0]),
-                        trans=np.zeros(3), depth=None, right=right,
-                        filename=lp.name)
+            if self._maps is not None:
+                img = self._rectify(img, self._maps[0])
+                right = self._rectify(right, self._maps[1])
+            quat, trans = self._pose_at(ts)
+            if quat is None:
+                quat, trans = np.array([1.0, 0, 0, 0]), np.zeros(3)
+            yield Frame(image=img, quat_wxyz=quat, trans=trans, depth=None,
+                        right=right, filename=lp.name, timestamp=ts * 1e-9)

@@ -394,6 +394,14 @@ class GaussianMapper:
     # Render service + artifacts
     # ------------------------------------------------------------------
 
+    # Render-size ladder: free viewer resizing would trigger a fresh XLA
+    # compile per (width, height); quantizing to ladder steps bounds the
+    # number of compiled programs. The request is served by rendering the
+    # next ladder size at the same focal length (wider FoV) and center-
+    # cropping, which reproduces the requested view exactly.
+    RENDER_LADDER_W = 256
+    RENDER_LADDER_H = 128
+
     def render_from_pose(self, quat_wxyz, trans, width: int, height: int,
                          camera_id: int = 0) -> np.ndarray:
         """Viewer render service (reference: src/gaussian_mapper.cpp:1521-1569)
@@ -402,26 +410,41 @@ class GaussianMapper:
         cam = self.scene.cameras[camera_id]
         q = np.asarray(quat_wxyz, np.float64)
         R = np.asarray(quat_to_rotmat(jnp.asarray(q / np.linalg.norm(q))))
+        from photo_slam_tpu.ops.render import default_render_mode
+
+        lw = self.RENDER_LADDER_W
+        lh = self.RENDER_LADDER_H
+        w2 = max(lw, -(-width // lw) * lw)
+        h2 = max(lh, -(-height // lh) * lh)
+        tanx = float(np.tan(cam.fovx / 2))
+        tany = float(np.tan(cam.fovy / 2))
+        # Same focal length, extended FoV for the padded size.
+        tanx2 = tanx * w2 / width
+        tany2 = tany * h2 / height
+        fovx2 = 2.0 * float(np.arctan(tanx2))
+        fovy2 = 2.0 * float(np.arctan(tany2))
         mats = build_camera_matrices(R, np.asarray(trans, np.float64),
                                      self.cfg.mapper.z_near,
                                      self.cfg.mapper.z_far,
-                                     cam.fovx, cam.fovy)
-        from photo_slam_tpu.ops.render import default_render_mode
-
+                                     fovx2, fovy2)
         state = self.trainer.state
+        mode = default_render_mode()
+        k_dup, per_tile = self.cfg.renderer.caps_for_mode(mode)
         settings = RenderSettings(
-            width=width, height=height,
-            tan_fovx=float(np.tan(cam.fovx / 2)),
-            tan_fovy=float(np.tan(cam.fovy / 2)),
+            width=w2, height=h2,
+            tan_fovx=tanx2, tan_fovy=tany2,
             sh_degree=self.trainer.default_sh,
-            max_tiles_per_gaussian=self.cfg.renderer.max_tiles_per_gaussian,
-            max_per_tile=self.cfg.renderer.max_per_tile,
-            mode=default_render_mode())
+            max_tiles_per_gaussian=k_dup,
+            max_per_tile=per_tile,
+            mode=mode)
         scales, quats, opac = gm.activated(state.params)
         res = render(state.params.xyz, scales, quats, opac, mats, settings,
                      self.trainer.bg_color, shs=gm.sh_features(state.params),
                      live_mask=state.live)
-        return np.asarray(res.image)
+        img = np.asarray(res.image)
+        y0 = (h2 - height) // 2
+        x0 = (w2 - width) // 2
+        return img[:, y0:y0 + height, x0:x0 + width]
 
     def render_and_record_all_keyframes(self, out_dir,
                                         suffix: str = "") -> dict:

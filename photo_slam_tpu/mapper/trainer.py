@@ -272,12 +272,14 @@ class GaussianTrainer:
         tan_fovy = float(np.tan(0.5 * kf.camera.fovy))
         r = self.cfg.renderer
         from photo_slam_tpu.ops.render import default_render_mode
+        mode = default_render_mode()
+        k_dup, per_tile = r.caps_for_mode(mode)
         settings = RenderSettings(
             width=width, height=height, tan_fovx=tan_fovx, tan_fovy=tan_fovy,
             sh_degree=self.default_sh, tile=r.tile,
-            max_tiles_per_gaussian=r.max_tiles_per_gaussian,
-            max_per_tile=r.max_per_tile, tiles_per_chunk=r.tiles_per_chunk,
-            mode=default_render_mode(),
+            max_tiles_per_gaussian=k_dup,
+            max_per_tile=per_tile, tiles_per_chunk=r.tiles_per_chunk,
+            mode=mode,
         )
 
         lrs = self._current_lrs(kf)
@@ -351,14 +353,16 @@ class GaussianTrainer:
                            for k in kfs])
         r = self.cfg.renderer
         from photo_slam_tpu.ops.render import default_render_mode
+        mode = default_render_mode()
+        k_dup, per_tile = r.caps_for_mode(mode)
         settings = RenderSettings(
             width=cam0.width, height=cam0.height,
             tan_fovx=float(np.tan(0.5 * cam0.fovx)),
             tan_fovy=float(np.tan(0.5 * cam0.fovy)),
             sh_degree=self.default_sh, tile=r.tile,
-            max_tiles_per_gaussian=r.max_tiles_per_gaussian,
-            max_per_tile=r.max_per_tile, tiles_per_chunk=r.tiles_per_chunk,
-            mode=default_render_mode(),
+            max_tiles_per_gaussian=k_dup,
+            max_per_tile=per_tile, tiles_per_chunk=r.tiles_per_chunk,
+            mode=mode,
         )
         lrs = self._current_lrs(kfs[0])
         self.state, self.opt_state, metrics = train_step_batched(

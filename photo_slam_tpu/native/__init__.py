@@ -183,7 +183,7 @@ def _load_slam() -> Optional[ctypes.CDLL]:
         lib.local_ba.restype = ctypes.c_int
         lib.local_ba.argtypes = [
             ctypes.c_int, ctypes.c_int, f64, ctypes.c_int, f64,
-            ctypes.c_int, i32, i32, f64,
+            ctypes.c_int, i32, i32, f64, f64, f64,
             ctypes.c_double, ctypes.c_double, ctypes.c_double,
             ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_int,
         ]
@@ -199,11 +199,13 @@ def _load_slam() -> Optional[ctypes.CDLL]:
 
 
 def _local_ba_numpy(poses, n_fixed, points, obs_pose, obs_point, obs_uv,
-                    fx, fy, cx, cy, huber, chi2, iters):
+                    fx, fy, cx, cy, huber, chi2, iters, obs_depth=None,
+                    obs_dw=None):
     """Dense-GN fallback (no Schur): state = free poses (6 each) + points."""
     n_poses, n_points, n_obs = len(poses), len(points), len(obs_pose)
     n_free = n_poses - n_fixed
     np_dim = 6 * n_free
+    has_d = obs_dw is not None and (np.asarray(obs_dw) > 0).any()
 
     def project_all(P, X):
         T = P[obs_pose]
@@ -218,7 +220,14 @@ def _local_ba_numpy(poses, n_fixed, points, obs_pose, obs_point, obs_uv,
         e = np.linalg.norm(uv - obs_uv, axis=1)
         c = np.where(e <= huber, 0.5 * e**2, huber * (e - 0.5 * huber))
         c = np.where(xc[:, 2] > 1e-6, c, huber * huber)
-        return c.sum()
+        total = c.sum()
+        if has_d:
+            rd = np.asarray(obs_dw) * (xc[:, 2] - np.asarray(obs_depth))
+            rd = np.where(np.asarray(obs_dw) > 0, rd, 0.0)
+            ed = np.abs(rd)
+            total += np.where(ed <= huber, 0.5 * rd**2,
+                              huber * (ed - 0.5 * huber)).sum()
+        return total
 
     P = poses.copy()
     X = points.copy()
@@ -267,6 +276,21 @@ def _local_ba_numpy(poses, n_fixed, points, obs_pose, obs_point, obs_uv,
             H[np.ix_(idx, idx)] += w[o] * (np.outer(Jr_u, Jr_u)
                                            + np.outer(Jr_v, Jr_v))
             g[idx] += w[o] * (Jr_u * r[o, 0] + Jr_v * r[o, 1])
+            if has_d and obs_dw[o] > 0:
+                wd = obs_dw[o]
+                rd = wd * (xc[o, 2] - obs_depth[o])
+                ed = abs(rd)
+                wh = 1.0 if (huber <= 0 or ed <= huber) else huber / max(
+                    ed, 1e-12)
+                Jrow_d = []
+                if pi >= n_fixed:
+                    Jrow_d.extend([0.0, 0.0, wd, wd * xc[o, 1],
+                                   -wd * xc[o, 0], 0.0])
+                R3 = P[pi][2, :3]
+                Jrow_d.extend(wd * R3)
+                Jr_d = np.array(Jrow_d)
+                H[np.ix_(idx, idx)] += wh * np.outer(Jr_d, Jr_d)
+                g[idx] += wh * Jr_d * rd
         try:
             dx = -np.linalg.solve(H + lam * (np.eye(dim) * (1 + np.diag(H))),
                                   g)
@@ -293,14 +317,15 @@ def _local_ba_numpy(poses, n_fixed, points, obs_pose, obs_point, obs_uv,
 
 
 def _ba_solve_once(P, n_fixed, X, op, ol, uv, fx, fy, cx, cy, huber,
-                   chi2_px, max_iters):
+                   chi2_px, max_iters, od, ow):
     lib = _load_slam()
     if lib is None:
         return _local_ba_numpy(P, n_fixed, X, op, ol, uv, fx, fy, cx, cy,
-                               huber, chi2_px, max_iters)
+                               huber, chi2_px, max_iters, obs_depth=od,
+                               obs_dw=ow)
     flatP = np.ascontiguousarray(P.reshape(len(P), 16))
     n = lib.local_ba(len(P), n_fixed, flatP, len(X), X, len(op), op, ol,
-                     uv, fx, fy, cx, cy, huber, chi2_px, max_iters)
+                     uv, od, ow, fx, fy, cx, cy, huber, chi2_px, max_iters)
     return int(n), flatP.reshape(-1, 4, 4), X
 
 
@@ -317,12 +342,16 @@ def _reproj_err(P, X, op, ol, uv, fx, fy, cx, cy):
 def local_ba(poses_tcw: np.ndarray, n_fixed: int, points: np.ndarray,
              obs_pose: np.ndarray, obs_point: np.ndarray, obs_uv: np.ndarray,
              fx, fy, cx, cy, huber: float = 3.0, chi2_px: float = 5.0,
-             max_iters: int = 10):
+             max_iters: int = 10, obs_depth=None, obs_depth_weight=None):
     """Sliding-window bundle adjustment (reference:
     ORB-SLAM3/src/Optimizer.cc:1116 LocalBundleAdjustment).
 
     poses_tcw [P,4,4] world->camera (first n_fixed held constant),
     points [M,3] world, observations (pose idx, point idx, pixel uv).
+    Optional per-observation depth constraints (obs_depth [O] metric depth,
+    obs_depth_weight [O] residual scale, <=0 disables) — the role of the
+    reference's RGBD/stereo BA edges, anchoring landmark depth where the
+    window baseline is too narrow to triangulate.
     Two rounds with a chi2 outlier cut between them — the role of the
     reference's inlier re-classification between its BA stages.
     Returns (num_inliers, poses, points) — copies, inputs untouched.
@@ -332,10 +361,14 @@ def local_ba(poses_tcw: np.ndarray, n_fixed: int, points: np.ndarray,
     op = np.ascontiguousarray(obs_pose, np.int32)
     ol = np.ascontiguousarray(obs_point, np.int32)
     uv = np.ascontiguousarray(obs_uv, np.float64)
+    od = (np.zeros(len(op)) if obs_depth is None
+          else np.ascontiguousarray(obs_depth, np.float64))
+    ow = (np.zeros(len(op)) if obs_depth_weight is None
+          else np.ascontiguousarray(obs_depth_weight, np.float64))
 
     it1 = max(max_iters // 2, 3)
     _, P, X = _ba_solve_once(P, n_fixed, X, op, ol, uv, fx, fy, cx, cy,
-                             huber, chi2_px, it1)
+                             huber, chi2_px, it1, od, ow)
     for cut in (2.0 * chi2_px, chi2_px):
         err = _reproj_err(P, X, op, ol, uv, fx, fy, cx, cy)
         keep = err < cut
@@ -344,7 +377,9 @@ def local_ba(poses_tcw: np.ndarray, n_fixed: int, points: np.ndarray,
         # Points that lost all observations stay untouched by this round.
         _, P, X = _ba_solve_once(P, n_fixed, X, op[keep], ol[keep],
                                  np.ascontiguousarray(uv[keep]), fx, fy,
-                                 cx, cy, huber, chi2_px, max_iters)
+                                 cx, cy, huber, chi2_px, max_iters,
+                                 np.ascontiguousarray(od[keep]),
+                                 np.ascontiguousarray(ow[keep]))
     err = _reproj_err(P, X, op, ol, uv, fx, fy, cx, cy)
     return int((err < chi2_px).sum()), P, X
 

@@ -63,15 +63,23 @@ def tile_grid(width: int, height: int, tile: int = TILE) -> tuple[int, int]:
 
 
 def compute_rects(means2d: jnp.ndarray, radii: jnp.ndarray, width: int,
-                  height: int, tile: int = TILE):
+                  height: int, tile: int = TILE, extents=None):
     """Per-Gaussian tile rect [x0, y0, x1, y1) like getRect
-    (reference: cuda_rasterizer/auxiliary.h:46-56)."""
+    (reference: cuda_rasterizer/auxiliary.h:46-56).
+
+    With `extents` [N, 2] (per-axis half-widths, see
+    ops/preprocess.tight_extents) the rect is the tight bounding box of the
+    visible footprint instead of the circumscribed radius square.
+    """
     gx, gy = tile_grid(width, height, tile)
-    r = radii.astype(jnp.float32)
-    x0 = jnp.clip(jnp.floor((means2d[:, 0] - r) / tile), 0, gx).astype(jnp.int32)
-    y0 = jnp.clip(jnp.floor((means2d[:, 1] - r) / tile), 0, gy).astype(jnp.int32)
-    x1 = jnp.clip(jnp.floor((means2d[:, 0] + r + tile - 1) / tile), 0, gx).astype(jnp.int32)
-    y1 = jnp.clip(jnp.floor((means2d[:, 1] + r + tile - 1) / tile), 0, gy).astype(jnp.int32)
+    if extents is None:
+        rx = ry = radii.astype(jnp.float32)
+    else:
+        rx, ry = extents[:, 0], extents[:, 1]
+    x0 = jnp.clip(jnp.floor((means2d[:, 0] - rx) / tile), 0, gx).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((means2d[:, 1] - ry) / tile), 0, gy).astype(jnp.int32)
+    x1 = jnp.clip(jnp.floor((means2d[:, 0] + rx + tile - 1) / tile), 0, gx).astype(jnp.int32)
+    y1 = jnp.clip(jnp.floor((means2d[:, 1] + ry + tile - 1) / tile), 0, gy).astype(jnp.int32)
     return x0, y0, x1, y1
 
 
@@ -85,12 +93,14 @@ def bin_gaussians(
     tile: int = TILE,
     max_tiles_per_gaussian: int = 64,
     max_per_tile: int = 512,
+    extents=None,
 ) -> TileBinning:
     """Build depth-ordered per-tile lists. All shapes static.
 
     Gaussians whose tile rect exceeds `max_tiles_per_gaussian` slots keep the
     rect *centered* on their projected mean but clipped — this bounds the
     duplication factor the way the reference's dynamic num_rendered cannot.
+    `extents` [N, 2] switches to tight per-axis footprint rects.
     """
     n = means2d.shape[0]
     gx, gy = tile_grid(width, height, tile)
@@ -104,8 +114,11 @@ def bin_gaussians(
     xy_s = means2d
     radii_s = radii
     vis_s = visible
+    if extents is not None:
+        vis_s = vis_s & (extents[:, 0] > 0.0)
 
-    x0, y0, x1, y1 = compute_rects(xy_s, radii_s, width, height, tile)
+    x0, y0, x1, y1 = compute_rects(xy_s, radii_s, width, height, tile,
+                                   extents=extents)
     rw = x1 - x0
     rh = y1 - y0
     area = rw * rh

@@ -129,7 +129,7 @@ def _fwd_kernel(counts_ref, tiles_x_ref, data_ref, color_ref, t_ref, n_ref):
 
 
 def _bwd_kernel(counts_ref, tiles_x_ref, data_ref, final_t_ref, n_ref,
-                g_color_ref, g_t_ref, d_data_ref):
+                g_color_ref, g_t_ref, d_data_ref, p_scr, w_scr, o_scr):
     """Back-to-front gradient accumulation
     (reference: cuda_rasterizer/backward.cu:398-557).
 
@@ -139,11 +139,26 @@ def _bwd_kernel(counts_ref, tiles_x_ref, data_ref, final_t_ref, n_ref,
       dC/da_k = T_k c_k - B_k / (1 - a_k)
       dT_N/da_k = -T_N / (1 - a_k)      (for the final_T cotangent / bg term)
     Traversing k = count-1 .. 0 with T reconstructed as T_k = T_{k+1}/(1-a_k).
+
+    Pixel reductions run on the MXU: the inner loop only stores three
+    per-pixel fields per Gaussian to VMEM scratch (dL/dpower, alpha*T,
+    dL/dopacity); per group of G Gaussians ONE matmul against a per-tile
+    moment basis {1, x, y, x^2, xy, y^2, g_r, g_g, g_b} (tile-LOCAL pixel
+    coords, so the quadratic moments stay small and the expansion of
+    (mx-px)^2 into moments does not cancel catastrophically) yields all nine
+    gradient components — replacing 9 serial cross-lane reductions per
+    Gaussian (the CUDA backward's warp reductions + atomicAdd,
+    backward.cu:398-557).
     """
     t = pl.program_id(0)
     count = counts_ref[t]
     tiles_x = tiles_x_ref[0]
     px, py = _pixel_coords(t, tiles_x)
+    # Tile-local pixel coordinates (0..TILE_PS): the moment basis.
+    tx = (t % tiles_x).astype(jnp.float32) * TILE_PS
+    ty = (t // tiles_x).astype(jnp.float32) * TILE_PS
+    lx = px - tx
+    ly = py - ty
 
     gr = g_color_ref[0, 0]
     gg = g_color_ref[0, 1]
@@ -152,13 +167,24 @@ def _bwd_kernel(counts_ref, tiles_x_ref, data_ref, final_t_ref, n_ref,
     T_final = final_t_ref[0]
     n_contrib = n_ref[0]
 
-    d_data_ref[...] = jnp.zeros(d_data_ref.shape, d_data_ref.dtype)
+    group = _exit_check()
+    # Moment basis [8, P]: rows (1, lx, ly, lx^2, lx*ly, ly^2, 0, 0) and
+    # color basis rows (gr, gg, gb, 1, 0, 0, 0, 0), both flattened over the
+    # pixel tile for the NT matmuls below.
+    P = PIX_SUB * PIX_LANE
+    one = jnp.ones((PIX_SUB, PIX_LANE), jnp.float32)
+    zerov = jnp.zeros((PIX_SUB, PIX_LANE), jnp.float32)
+    basis_m = jnp.stack([one, lx, ly, lx * lx, lx * ly, ly * ly, zerov,
+                         zerov]).reshape(8, P)
+    basis_c = jnp.stack([gr, gg, gb, one, zerov, zerov, zerov,
+                         zerov]).reshape(8, P)
 
     zero = jnp.zeros((PIX_SUB, PIX_LANE), jnp.float32)
     # Carry: T (behind-reconstruction), B accumulators per channel.
     init = (T_final, zero, zero, zero)
 
     def gaussian_step(d, k, carry):
+        """Returns the three per-pixel fields + updated carry."""
         T_behind, Br, Bg, Bb = carry
         dx = d[0] - px
         dy = d[1] - py
@@ -171,7 +197,6 @@ def _bwd_kernel(counts_ref, tiles_x_ref, data_ref, final_t_ref, n_ref,
 
         # Gradients w.r.t. color and alpha of this Gaussian (per pixel).
         aT = jnp.where(valid, alpha * T_k, 0.0)
-        dL_dck = (aT * gr, aT * gg, aT * gb)
         dC_dalpha_r = T_k * d[6] - Br / one_minus
         dC_dalpha_g = T_k * d[7] - Bg / one_minus
         dC_dalpha_b = T_k * d[8] - Bb / one_minus
@@ -184,51 +209,69 @@ def _bwd_kernel(counts_ref, tiles_x_ref, data_ref, final_t_ref, n_ref,
         )
 
         # alpha = min(0.99, opac * exp(power)): zero grad when clamped.
-        not_clamped = d[5] * jnp.exp(power) < ALPHA_MAX
-        dL_dalpha = jnp.where(not_clamped, dL_dalpha, 0.0)
         exp_p = jnp.exp(power)
+        not_clamped = d[5] * exp_p < ALPHA_MAX
+        dL_dalpha = jnp.where(not_clamped, dL_dalpha, 0.0)
         dL_dopac = dL_dalpha * exp_p
-        dL_dpower = dL_dalpha * d[5] * exp_p
-        # power = -0.5*(A dx^2 + C dy^2) - B dx dy
-        dL_dA = dL_dpower * (-0.5 * dx * dx)
-        dL_dB = dL_dpower * (-dx * dy)
-        dL_dC = dL_dpower * (-0.5 * dy * dy)
-        # d power / d mean2d (dx = mx - px)
-        dL_dmx = dL_dpower * (-(d[2] * dx + d[3] * dy))
-        dL_dmy = dL_dpower * (-(d[4] * dy + d[3] * dx))
+        dL_dpower = dL_dopac * d[5]
 
-        # Reduce over pixels into one gradient row. Nine separate
-        # [8,128]->scalar sums measured FASTER than a stacked [9,8,128]
-        # batched reduction (the stack's register copies dominate), and
-        # multi-axis reduce_sum fails Mosaic layout checks entirely.
-        row = jnp.stack([
-            jnp.sum(dL_dmx), jnp.sum(dL_dmy),
-            jnp.sum(dL_dA), jnp.sum(dL_dB), jnp.sum(dL_dC),
-            jnp.sum(dL_dopac),
-            jnp.sum(dL_dck[0]), jnp.sum(dL_dck[1]), jnp.sum(dL_dck[2]),
-            0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
-        ])
+        Br = Br + aT * d[6]
+        Bg = Bg + aT * d[7]
+        Bb = Bb + aT * d[8]
+        return (dL_dpower, aT, dL_dopac), (T_k, Br, Bg, Bb)
 
-        Br = Br + jnp.where(valid, alpha * T_k * d[6], 0.0)
-        Bg = Bg + jnp.where(valid, alpha * T_k * d[7], 0.0)
-        Bb = Bb + jnp.where(valid, alpha * T_k * d[8], 0.0)
-        return row, (T_k, Br, Bg, Bb)
-
-    # Back-to-front in aligned groups: one [G, 16] load and one [G, 16]
-    # gradient store per group (the store pattern replaces the CUDA
-    # backward's per-Gaussian atomicAdd, backward.cu:398-557).
-    group = _exit_check()
     num_groups = (count + group - 1) // group
 
     def group_body(gi, carry):
         k0 = (num_groups - 1 - gi) * group
         rows = data_ref[0, pl.ds(k0, group)]
-        grad_rows = [None] * group
         for i in reversed(range(group)):
-            grad_rows[i], carry = gaussian_step(rows[i], k0 + i, carry)
-        d_data_ref[0, pl.ds(k0, group)] = jnp.stack(grad_rows)
+            (f_p, f_w, f_o), carry = gaussian_step(rows[i], k0 + i, carry)
+            p_scr[i] = f_p
+            w_scr[i] = f_w
+            o_scr[i] = f_o
+
+        # MXU reduction: moments[G,8] = P_fields @ basis^T over pixels.
+        nt = (((1,), (1,)), ((), ()))
+        moments = jax.lax.dot_general(
+            p_scr[...].reshape(group, P), basis_m, nt,
+            preferred_element_type=jnp.float32)
+        cw = jax.lax.dot_general(
+            w_scr[...].reshape(group, P), basis_c, nt,
+            preferred_element_type=jnp.float32)
+        co = jax.lax.dot_general(
+            o_scr[...].reshape(group, P), basis_c, nt,
+            preferred_element_type=jnp.float32)
+
+        # Convert moments to gradient rows (tile-local mean coords).
+        mx = rows[:, 0:1] - tx
+        my = rows[:, 1:2] - ty
+        S0 = moments[:, 0:1]
+        Sx = moments[:, 1:2]
+        Sy = moments[:, 2:3]
+        Sxx = moments[:, 3:4]
+        Sxy = moments[:, 4:5]
+        Syy = moments[:, 5:6]
+        ex = mx * S0 - Sx              # sum dL_dpower * dx
+        ey = my * S0 - Sy              # sum dL_dpower * dy
+        d_mx = -(rows[:, 2:3] * ex + rows[:, 3:4] * ey)
+        d_my = -(rows[:, 4:5] * ey + rows[:, 3:4] * ex)
+        d_A = -0.5 * (mx * ex - mx * Sx + Sxx)   # sum * dx^2 (see below)
+        d_B = -(my * ex - mx * Sy + Sxy)          # sum * dx*dy
+        d_C = -0.5 * (my * ey - my * Sy + Syy)    # sum * dy^2
+        # dx^2 expansion: mx^2 S0 - 2 mx Sx + Sxx = mx*ex - mx*Sx + Sxx;
+        # dx*dy: mx my S0 - mx Sy - my Sx + Sxy = my*ex - mx*Sy + Sxy.
+        d_opac = co[:, 3:4]
+        d_r = cw[:, 0:1]
+        d_g = cw[:, 1:2]
+        d_b = cw[:, 2:3]
+        pad = jnp.zeros((group, FEAT - 9), jnp.float32)
+        out_rows = jnp.concatenate(
+            [d_mx, d_my, d_A, d_B, d_C, d_opac, d_r, d_g, d_b, pad], axis=1)
+        d_data_ref[0, pl.ds(k0, group)] = out_rows
         return carry
 
+    d_data_ref[...] = jnp.zeros(d_data_ref.shape, d_data_ref.dtype)
     jax.lax.fori_loop(0, num_groups, group_body, init)
 
 
@@ -298,6 +341,7 @@ def _blend_fwd_call(data_tiles, counts, tiles_x, num_tiles):
 def _blend_bwd_call(data_tiles, counts, final_t, n_contrib, g_color, g_t,
                     tiles_x, num_tiles):
     k = data_tiles.shape[1]
+    group = _exit_check()
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
@@ -317,12 +361,17 @@ def _blend_bwd_call(data_tiles, counts, final_t, n_contrib, g_color, g_t,
             pl.BlockSpec((1, k, FEAT), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
+        scratch_shapes=[
+            pltpu.VMEM((group, PIX_SUB, PIX_LANE), jnp.float32),
+            pltpu.VMEM((group, PIX_SUB, PIX_LANE), jnp.float32),
+            pltpu.VMEM((group, PIX_SUB, PIX_LANE), jnp.float32),
+        ],
     )
 
     def kernel(counts_ref, tiles_x_ref, data_ref, ft_ref, n_ref, gc_ref,
-               gt_ref, d_data_ref):
+               gt_ref, d_data_ref, p_scr, w_scr, o_scr):
         _bwd_kernel(counts_ref, tiles_x_ref, data_ref, ft_ref, n_ref,
-                    gc_ref, gt_ref, d_data_ref)
+                    gc_ref, gt_ref, d_data_ref, p_scr, w_scr, o_scr)
 
     (d_data,) = pl.pallas_call(
         kernel,

@@ -77,6 +77,34 @@ def compute_cov3d(scales: jnp.ndarray, quats: jnp.ndarray,
     return jnp.stack([c_xx, c_xy, c_xz, c_yy, c_yz, c_zz], axis=-1)
 
 
+def tight_extents(conics: jnp.ndarray, opacities: jnp.ndarray,
+                  radii: jnp.ndarray,
+                  alpha_min: float = 1.0 / 255.0) -> jnp.ndarray:
+    """Opacity-aware per-axis half-extents [N, 2] of the visible footprint.
+
+    The blend skips contributions with alpha < 1/255 (reference:
+    cuda_rasterizer/forward.cu:338-341), so any pixel outside the ellipse
+    {d : opacity * exp(-0.5 d^T C d) >= alpha_min} never contributes. Its
+    axis-aligned bounding box has half-widths sqrt(2 L Sigma_xx/yy) with
+    L = ln(opacity/alpha_min) and Sigma = C^-1 — usually much tighter than
+    the reference's circumscribed 3-sigma square (especially for the many
+    low-opacity splats mid-training), which shrinks tile lists with zero
+    image change. A small margin guards float rounding at the boundary.
+    """
+    a, b, c = conics[..., 0], conics[..., 1], conics[..., 2]
+    det = jnp.maximum(a * c - b * b, 1e-12)
+    sig_xx = c / det
+    sig_yy = a / det
+    L = jnp.log(jnp.maximum(opacities, 1e-12) / alpha_min) * 1.001
+    dead = L <= 0.0  # alpha below the blend threshold everywhere
+    L = jnp.maximum(L, 0.0)
+    ext_x = jnp.sqrt(2.0 * L * jnp.maximum(sig_xx, 0.0)) + 1.0
+    ext_y = jnp.sqrt(2.0 * L * jnp.maximum(sig_yy, 0.0)) + 1.0
+    r = radii.astype(jnp.float32)
+    ext = jnp.stack([jnp.minimum(ext_x, r), jnp.minimum(ext_y, r)], axis=-1)
+    return jnp.where(dead[..., None], 0.0, ext)
+
+
 def compute_cov2d(means3d: jnp.ndarray, cov3d: jnp.ndarray,
                   viewmatrix: jnp.ndarray, focal_x: float, focal_y: float,
                   tan_fovx: float, tan_fovy: float) -> jnp.ndarray:

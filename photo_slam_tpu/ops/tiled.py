@@ -65,17 +65,36 @@ def _entry_gather_bwd(k_dup, residuals, g):
      tile_counts) = residuals
     n, d = feat_shape
     num_tiles, k_max = lists_shape
+    e_total = sorted_entries.shape[0]
     g_flat = g.reshape(-1, d)  # [T*K, d]
 
-    # Position of every entry id in the sorted stream (exact inverse since
-    # sorted_entries is a permutation of arange(n*k_dup)).
-    inv = jnp.argsort(sorted_entries).astype(jnp.int32)   # [n*k_dup]
-    t = jnp.clip(jnp.take(sorted_tiles, inv), 0, num_tiles - 1)
-    k = inv - jnp.take(starts, t)
-    valid = (k >= 0) & (k < jnp.minimum(jnp.take(tile_counts, t), k_max))
-    gidx = jnp.where(valid, t * k_max + k, 0)
-    rows = jnp.take(g_flat, gidx, axis=0)                 # [n*k_dup, d]
-    rows = jnp.where(valid[:, None], rows, 0.0)
+    # Stream-side (tile, slot) -> flat gradient-row index, computed WITHOUT
+    # per-element random gathers (XLA lowers large 1D gathers on TPU to
+    # ~12ns/element loops — measured 44ms at Replica scale):
+    #   starts_stream[i] = starts[tile at sorted position i], a piecewise-
+    #   constant monotone expansion of `starts`, built with one TINY
+    #   scatter-add (num_tiles deltas; empty tiles collide at the same
+    #   position, which scatter-ADD handles) and a cumsum over the stream.
+    deltas = jnp.diff(starts)
+    starts_stream = jnp.zeros(e_total, jnp.int32).at[starts[1:]].add(
+        deltas, mode="drop")
+    starts_stream = jnp.cumsum(starts_stream)
+    iota = jnp.arange(e_total, dtype=jnp.int32)
+    slot_k = iota - starts_stream
+    t = sorted_tiles
+    # Rows past a tile's count are zero in the kernel output, so only the
+    # hard capacity and the sentinel tile need masking.
+    valid = (t < num_tiles) & (slot_k < k_max)
+    ridx = jnp.where(valid, t * k_max + slot_k, jnp.int32(-1))
+
+    # Route row indices back to entry order with ONE sort (sorted_entries is
+    # a permutation of arange, so the sorted key collapses to iota and the
+    # payload lands at ptr[e]) — sorts vectorize on TPU where gathers do not.
+    _, ptr = jax.lax.sort((sorted_entries, ridx), num_keys=1,
+                          is_stable=False)
+    ok = ptr >= 0
+    rows = jnp.take(g_flat, jnp.where(ok, ptr, 0), axis=0)  # [n*k_dup, d]
+    rows = jnp.where(ok[:, None], rows, 0.0)
     d_feat = rows.reshape(n, k_dup, d).sum(axis=1)
     f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
     return (d_feat, f0(jnp.zeros(lists_shape, jnp.int32)),
@@ -204,6 +223,7 @@ def render_pallas(
     (cuda_rasterizer/backward.cu:398-557).
     """
     from photo_slam_tpu.ops.pallas.blend import FEAT, TILE_PS, pallas_blend
+    from photo_slam_tpu.ops.preprocess import tight_extents
 
     tile = TILE_PS
     gx, gy = tile_grid(width, height, tile)
@@ -219,6 +239,8 @@ def render_pallas(
         tile=tile,
         max_tiles_per_gaussian=max_tiles_per_gaussian,
         max_per_tile=max_per_tile,
+        extents=jax.lax.stop_gradient(
+            tight_extents(prep.conics, opacities, prep.radii)),
     )
 
     # Pack per-Gaussian features (original order — tile_lists carry original
@@ -280,6 +302,8 @@ def render_tiled(
     tiles_per_chunk: int = 16,
 ) -> tuple[RenderOutput, TileBinning]:
     """Full tiled path: bin then blend. Returns the binning for diagnostics."""
+    from photo_slam_tpu.ops.preprocess import tight_extents
+
     binning = bin_gaussians(
         jax.lax.stop_gradient(prep.means2d),
         jax.lax.stop_gradient(prep.depths),
@@ -290,6 +314,8 @@ def render_tiled(
         tile=tile,
         max_tiles_per_gaussian=max_tiles_per_gaussian,
         max_per_tile=max_per_tile,
+        extents=jax.lax.stop_gradient(
+            tight_extents(prep.conics, opacities, prep.radii)),
     )
     out = render_binned(prep, opacities, binning, width, height, bg_color,
                         tile=tile, tiles_per_chunk=tiles_per_chunk,

@@ -1,0 +1,868 @@
+"""Full SLAM tracking frontend: local-map tracking, local mapping, loop
+closing, relocalization, monocular initialization.
+
+This is the framework's replacement for the reference's ORB-SLAM3 pipeline
+(reference layers: Tracking.cc pose tracking + keyframe decision,
+LocalMapping.cc map-point creation/culling + local BA,
+LoopClosing.cc place recognition + pose-graph correction), emitting the same
+MappingOperation stream the Gaussian mapper consumes
+(reference: ORB-SLAM3/include/Atlas.h:52-184). Host-side numpy/OpenCV; the
+optimization cores are native C++ (photo_slam_tpu.native.local_ba /
+pose_graph_optimize / pose_optimize).
+
+Per frame:
+  1. ORB extraction;
+  2. constant-velocity pose prediction, projection matching against the
+     local map (covisible keyframes' points), PnP-RANSAC + motion-only BA
+     (the role of Tracking::TrackWithMotionModel / TrackLocalMap);
+  3. keyframe decision (tracked-ratio + interval,
+     Tracking::NeedNewKeyFrame in spirit);
+  4. on keyframe: map-point creation (depth-backprojection for RGBD/stereo,
+     two-view triangulation for monocular), map-point culling, windowed
+     local BA, LocalMappingBA push (LocalMapping.cc:149-160);
+  5. loop detection by descriptor voting + PnP verification; on success a
+     pose-graph correction over all keyframes and a LoopClosingBA push
+     (LoopClosing.cc:1201).
+Monocular initialization is two-view: essential matrix + recoverPose +
+triangulation, scene scaled to unit median depth
+(Tracking::MonocularInitialization).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from photo_slam_tpu.mapper.mapping_ops import (KeyframeData, MappingOperation,
+                                               OprType)
+from photo_slam_tpu.models.camera import Camera
+from photo_slam_tpu.native import local_ba, pose_graph_optimize, pose_optimize
+from photo_slam_tpu.tracking.gt_tracker import Frame
+from photo_slam_tpu.tracking.local_map import KeyframeNode, LocalMap
+from photo_slam_tpu.utils.math import se3_inverse
+
+try:
+    import cv2
+except Exception:  # pragma: no cover
+    cv2 = None
+
+
+# ---------------------------------------------------------------------------
+# Hamming distance helpers (descriptor voting without DBoW2)
+# ---------------------------------------------------------------------------
+
+_POPCOUNT = np.array([bin(i).count("1") for i in range(256)], np.uint8)
+
+
+def hamming_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pairwise Hamming distances between uint8 descriptor rows [A,32]x[B,32]."""
+    x = np.bitwise_xor(a[:, None, :], b[None, :, :])
+    if hasattr(np, "bitwise_count"):
+        return np.bitwise_count(x).sum(axis=2).astype(np.int32)
+    return _POPCOUNT[x].sum(axis=2).astype(np.int32)
+
+
+def match_descriptors(a: np.ndarray, b: np.ndarray, max_dist: int = 50,
+                      ratio: float = 0.8):
+    """Mutual-best descriptor matching with a Lowe ratio test.
+
+    Returns (idx_a, idx_b) index arrays.
+    """
+    if len(a) == 0 or len(b) == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    d = hamming_matrix(a, b)
+    best_b = np.argmin(d, axis=1)
+    best_d = d[np.arange(len(a)), best_b]
+    d2 = d.copy()
+    d2[np.arange(len(a)), best_b] = 1 << 16
+    second = d2.min(axis=1)
+    ok = (best_d <= max_dist) & (best_d <= ratio * second)
+    # Mutual check.
+    best_a = np.argmin(d, axis=0)
+    ok &= best_a[best_b] == np.arange(len(a))
+    ia = np.where(ok)[0]
+    return ia, best_b[ia]
+
+
+class FeatureGrid:
+    """Uniform pixel grid over keypoints with a fixed per-cell capacity —
+    gives fully vectorized 3x3-neighborhood candidate lookup."""
+
+    CAP = 10
+
+    def __init__(self, px: np.ndarray, width: int, height: int,
+                 cell: int = 20):
+        self.cell = cell
+        self.nx = max(1, (width + cell - 1) // cell)
+        self.ny = max(1, (height + cell - 1) // cell)
+        self.table = np.full((self.ny * self.nx, self.CAP), -1, np.int64)
+        fill = np.zeros(self.ny * self.nx, np.int32)
+        cx = np.clip((px[:, 0] // cell).astype(np.int64), 0, self.nx - 1)
+        cy = np.clip((px[:, 1] // cell).astype(np.int64), 0, self.ny - 1)
+        for i, key in enumerate(cy * self.nx + cx):
+            if fill[key] < self.CAP:
+                self.table[key, fill[key]] = i
+                fill[key] += 1
+
+    def candidates(self, uv: np.ndarray) -> np.ndarray:
+        """[Q, 9*CAP] feature indices (-1 padded) in the 3x3 cells around
+        each query point."""
+        cx = np.clip((uv[:, 0] // self.cell).astype(np.int64), 0, self.nx - 1)
+        cy = np.clip((uv[:, 1] // self.cell).astype(np.int64), 0, self.ny - 1)
+        out = []
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                qx = cx + dx
+                qy = cy + dy
+                inside = (qx >= 0) & (qx < self.nx) & (qy >= 0) & (
+                    qy < self.ny)
+                kx = np.clip(qx, 0, self.nx - 1)
+                ky = np.clip(qy, 0, self.ny - 1)
+                cells = self.table[ky * self.nx + kx]
+                out.append(np.where(inside[:, None], cells, -1))
+        return np.concatenate(out, axis=1)
+
+
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class FrontendResult:
+    tcw: Optional[np.ndarray]
+    num_tracked: int
+    is_keyframe: bool
+    lost: bool = False
+    loop_closed: bool = False
+
+
+class SlamFrontend:
+    """Feature-based SLAM frontend over the MappingOperation protocol."""
+
+    def __init__(self, camera: Camera, sensor: str = "rgbd",
+                 num_features: int = 1500, min_tracked: int = 25,
+                 kf_min_interval: int = 3, kf_max_interval: int = 30,
+                 kf_tracked_ratio: float = 0.6,
+                 min_depth: float = 0.05, max_depth: float = 40.0,
+                 stereo_bf: float = 0.0, ba_window: int = 6,
+                 match_radius: float = 16.0,
+                 enable_loop_closing: bool = True,
+                 loop_min_score: int = 60, loop_min_inliers: int = 25,
+                 max_new_points_per_kf: int = 400):
+        if cv2 is None:  # pragma: no cover
+            raise RuntimeError("SlamFrontend requires OpenCV")
+        assert sensor in ("rgbd", "stereo", "mono")
+        self.camera = camera
+        self.sensor = sensor
+        self.orb = cv2.ORB_create(nfeatures=num_features)
+        self.min_tracked = min_tracked
+        self.kf_min_interval = kf_min_interval
+        self.kf_max_interval = kf_max_interval
+        self.kf_tracked_ratio = kf_tracked_ratio
+        self.min_depth = min_depth
+        self.max_depth = max_depth
+        self.stereo_bf = stereo_bf or camera.stereo_bf
+        self.ba_window = ba_window
+        self.match_radius = match_radius
+        self.enable_loop_closing = enable_loop_closing
+        self.loop_min_score = loop_min_score
+        self.loop_min_inliers = loop_min_inliers
+        self.max_new_points_per_kf = max_new_points_per_kf
+
+        self.map = LocalMap()
+        self.K = np.array([[camera.fx, 0, camera.cx],
+                           [0, camera.fy, camera.cy], [0, 0, 1]], np.float64)
+
+        self.tcw = np.eye(4)
+        self.velocity = np.eye(4)          # T_cur_prev
+        self.trajectory: list[np.ndarray] = []
+        self.traj_times: list[float] = []
+        self.frames_since_kf = 0
+        self.last_kfid = -1
+        self.ref_tracked = 0               # tracked count at last keyframe
+        self.done = False
+        self.lost_frames = 0
+        self.num_loops_closed = 0
+        self._frame_idx = 0
+        self._kf_count = 0
+        self.live_kf_ids: set[int] = set()
+        # Loop detection database: kfid -> strongest descriptors.
+        self._loop_db: dict[int, np.ndarray] = {}
+        self._mono_init: Optional[tuple] = None   # (px, desc, image)
+
+    # ------------------------------------------------------------------
+    # Basics
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _to_gray(img_chw: np.ndarray) -> np.ndarray:
+        u8 = (np.clip(np.transpose(img_chw, (1, 2, 0)), 0, 1) * 255).astype(
+            np.uint8)
+        return cv2.cvtColor(u8, cv2.COLOR_RGB2GRAY)
+
+    def _extract(self, frame: Frame):
+        kps, desc = self.orb.detectAndCompute(self._to_gray(frame.image),
+                                              None)
+        if desc is None or len(kps) == 0:
+            return (np.zeros((0, 2), np.float32),
+                    np.zeros((0, 32), np.uint8), np.zeros(0, np.float32))
+        px = np.array([k.pt for k in kps], np.float32)
+        resp = np.array([k.response for k in kps], np.float32)
+        return px, desc, resp
+
+    def _depth_of(self, frame: Frame) -> Optional[np.ndarray]:
+        if frame.depth is not None:
+            return frame.depth
+        if frame.right is not None and self.stereo_bf > 0:
+            from photo_slam_tpu.mapper.mapper import GaussianMapper
+            disp = GaussianMapper._stereo_disparity(frame.image, frame.right)
+            if disp is None:
+                return None
+            with np.errstate(divide="ignore"):
+                depth = np.where(disp > 1.0, self.stereo_bf / disp, 0.0)
+            return depth.astype(np.float32)
+        return None
+
+    def _depth_at(self, depth_map, px):
+        cam = self.camera
+        u = np.clip(px[:, 0].astype(np.int64), 0, cam.width - 1)
+        v = np.clip(px[:, 1].astype(np.int64), 0, cam.height - 1)
+        d = depth_map[v, u]
+        ok = (d > self.min_depth) & (d < self.max_depth)
+        return d, ok, u, v
+
+    def _backproject(self, px, d):
+        cam = self.camera
+        x = (px[:, 0] - cam.cx) * d / cam.fx
+        y = (px[:, 1] - cam.cy) * d / cam.fy
+        return np.stack([x, y, d], 1)
+
+    def _project(self, tcw, xyz):
+        cam = self.camera
+        xc = xyz @ tcw[:3, :3].T + tcw[:3, 3]
+        z = xc[:, 2]
+        zs = np.where(np.abs(z) > 1e-9, z, 1e-9)
+        u = cam.fx * xc[:, 0] / zs + cam.cx
+        v = cam.fy * xc[:, 1] / zs + cam.cy
+        return np.stack([u, v], 1), z
+
+    # ------------------------------------------------------------------
+    # Tracking
+    # ------------------------------------------------------------------
+
+    def _track_local_map(self, px, desc, tcw_pred):
+        """Match local-map points to current features by projection.
+
+        Returns (mp_ids [F] with -1 for unmatched, matched_count)."""
+        window = [self.last_kfid] + self.map.covisible_kfs(self.last_kfid)
+        ids = self.map.point_ids_of_kfs(window[:10])
+        mp_of_feat = np.full(len(px), -1, np.int64)
+        if len(ids) == 0 or len(px) == 0:
+            return mp_of_feat, 0
+        xyz = self.map.xyz[ids]
+        uv, z = self._project(tcw_pred, xyz)
+        cam = self.camera
+        vis = ((z > self.min_depth) & (uv[:, 0] >= -20)
+               & (uv[:, 0] < cam.width + 20) & (uv[:, 1] >= -20)
+               & (uv[:, 1] < cam.height + 20))
+        ids, uv = ids[vis], uv[vis]
+        if len(ids) == 0:
+            return mp_of_feat, 0
+        mdesc = self.map.desc[ids]
+        grid = FeatureGrid(px, cam.width, cam.height,
+                           cell=max(8, int(self.match_radius)))
+        cand = grid.candidates(uv)                       # [M, C]
+        cand_ok = cand >= 0
+        cand_safe = np.where(cand_ok, cand, 0)
+        # Radius mask in pixels.
+        du = np.abs(px[cand_safe, 0] - uv[:, None, 0])
+        dv = np.abs(px[cand_safe, 1] - uv[:, None, 1])
+        cand_ok &= (du <= self.match_radius) & (dv <= self.match_radius)
+        # Vectorized Hamming: [M, C] distances via xor + popcount.
+        x = np.bitwise_xor(mdesc[:, None, :], desc[cand_safe])
+        if hasattr(np, "bitwise_count"):
+            dist = np.bitwise_count(x).sum(axis=2).astype(np.int32)
+        else:
+            dist = _POPCOUNT[x].sum(axis=2).astype(np.int32)
+        dist = np.where(cand_ok, dist, 256)
+        best_c = np.argmin(dist, axis=1)                 # per map point
+        best_d = dist[np.arange(len(ids)), best_c]
+        feat_idx = cand_safe[np.arange(len(ids)), best_c]
+        # Resolve collisions: the best (lowest-distance) map point wins a
+        # feature; iterate in ascending distance order.
+        best_for_feat = np.full(len(px), 256, np.int32)
+        order = np.argsort(best_d, kind="stable")
+        for j in order:
+            if best_d[j] >= 60:
+                break
+            f = feat_idx[j]
+            if best_d[j] < best_for_feat[f]:
+                best_for_feat[f] = best_d[j]
+                mp_of_feat[f] = ids[j]
+        return mp_of_feat, int((mp_of_feat >= 0).sum())
+
+    def _pose_from_matches(self, px, mp_of_feat, tcw_init):
+        sel = mp_of_feat >= 0
+        if sel.sum() < 6:
+            return None, 0, sel
+        obj = self.map.xyz[mp_of_feat[sel]]
+        img = px[sel].astype(np.float64)
+        rvec0, _ = cv2.Rodrigues(tcw_init[:3, :3])
+        ok, rvec, tvec, inliers = cv2.solvePnPRansac(
+            obj, img, self.K, None, rvec=rvec0.copy(),
+            tvec=tcw_init[:3, 3].reshape(3, 1).copy(), useExtrinsicGuess=True,
+            reprojectionError=4.0, iterationsCount=100,
+            flags=cv2.SOLVEPNP_ITERATIVE)
+        if not ok or inliers is None or len(inliers) < self.min_tracked:
+            return None, 0 if inliers is None else len(inliers), sel
+        R, _ = cv2.Rodrigues(rvec)
+        tcw = np.eye(4)
+        tcw[:3, :3] = R
+        tcw[:3, 3] = tvec.ravel()
+        inl = inliers.ravel()
+        n_inl, tcw, _ = pose_optimize(obj[inl], img[inl], self.camera.fx,
+                                      self.camera.fy, self.camera.cx,
+                                      self.camera.cy, tcw)
+        return tcw, n_inl, sel
+
+    # ------------------------------------------------------------------
+    # Initialization
+    # ------------------------------------------------------------------
+
+    def _init_with_depth(self, frame, px, desc, depth_map):
+        tcw = np.eye(4)
+        if frame.quat_wxyz is not None:
+            from photo_slam_tpu.utils.math import se3_matrix
+            tcw = se3_matrix(frame.quat_wxyz, frame.trans)
+        d, ok, u, v = self._depth_at(depth_map, px)
+        if ok.sum() < 20:
+            return None
+        local = self._backproject(px[ok], d[ok])
+        twc = se3_inverse(tcw)
+        world = local @ twc[:3, :3].T + twc[:3, 3]
+        colors = frame.image[:, v[ok], u[ok]].T.astype(np.float32)
+        kfid = self._new_kfid()
+        ids = self.map.add_points(world, desc[ok], colors, kfid)
+        mp_ids = np.full(len(px), -1, np.int64)
+        mp_ids[ok] = ids
+        node = KeyframeNode(kfid=kfid, tcw=tcw.copy(), kps_px=px, desc=desc,
+                            mp_ids=mp_ids, image=frame.image,
+                            depth=depth_map)
+        self.map.add_keyframe(node)
+        self._register_kf(node)
+        self.tcw = tcw
+        op = self._make_local_ba_op([node], new_points=world,
+                                    new_colors=colors, frame=frame,
+                                    new_node=node)
+        return op
+
+    def _init_mono(self, frame, px, desc):
+        """Two-view initialization (reference: ORB-SLAM3/src/Tracking.cc
+        MonocularInitialization): E-matrix + recoverPose + triangulation,
+        scene scaled to unit median depth."""
+        if self._mono_init is None:
+            if len(px) >= 100:
+                self._mono_init = (px, desc, frame.image)
+            return None
+        px0, desc0, img0 = self._mono_init
+        ia, ib = match_descriptors(desc0, desc, max_dist=60, ratio=0.9)
+        if len(ia) < 80:
+            # Replace the init frame if matching degrades.
+            if len(px) >= 100:
+                self._mono_init = (px, desc, frame.image)
+            return None
+        p0 = px0[ia].astype(np.float64)
+        p1 = px[ib].astype(np.float64)
+        parallax = np.linalg.norm(p1 - p0, axis=1)
+        if np.median(parallax) < 12.0:
+            return None
+        E, mask = cv2.findEssentialMat(p0, p1, self.K, cv2.RANSAC, 0.999,
+                                       1.0)
+        if E is None or E.shape != (3, 3):
+            return None
+        n_ok, R, t, mask = cv2.recoverPose(E, p0, p1, self.K, mask=mask)
+        if n_ok < 50:
+            return None
+        m = mask.ravel() > 0
+        P0 = self.K @ np.eye(4)[:3]
+        T1 = np.eye(4)
+        T1[:3, :3] = R
+        T1[:3, 3] = t.ravel()
+        P1 = self.K @ T1[:3]
+        pts4 = cv2.triangulatePoints(P0, P1, p0[m].T, p1[m].T)
+        pts3 = (pts4[:3] / pts4[3:4]).T
+        z0 = pts3[:, 2]
+        z1 = (pts3 @ R.T + t.ravel())[:, 2]
+        good = (z0 > 0.01) & (z1 > 0.01)
+        if good.sum() < 40:
+            return None
+        pts3 = pts3[good]
+        # Scale: unit median depth in the first camera.
+        med = np.median(pts3[:, 2])
+        if med <= 1e-6:
+            return None
+        pts3 = pts3 / med
+        T1[:3, 3] /= med
+
+        # Build the two keyframes + map points.
+        sel0 = ia[m][good]
+        sel1 = ib[m][good]
+        u = np.clip(px0[sel0, 0].astype(np.int64), 0, self.camera.width - 1)
+        v = np.clip(px0[sel0, 1].astype(np.int64), 0, self.camera.height - 1)
+        colors = img0[:, v, u].T.astype(np.float32)
+
+        kfid0 = self._new_kfid()
+        ids = self.map.add_points(pts3, desc0[sel0], colors, kfid0)
+        mp0 = np.full(len(px0), -1, np.int64)
+        mp0[sel0] = ids
+        node0 = KeyframeNode(kfid=kfid0, tcw=np.eye(4), kps_px=px0,
+                             desc=desc0, mp_ids=mp0, image=img0)
+        self.map.add_keyframe(node0)
+        self._register_kf(node0)
+
+        kfid1 = self._new_kfid()
+        mp1 = np.full(len(px), -1, np.int64)
+        mp1[sel1] = ids
+        node1 = KeyframeNode(kfid=kfid1, tcw=T1.copy(), kps_px=px, desc=desc,
+                             mp_ids=mp1, image=frame.image)
+        self.map.add_keyframe(node1)
+        self._register_kf(node1)
+
+        self.tcw = T1
+        self.velocity = T1.copy()
+        self._mono_init = None
+        ops = [
+            self._make_local_ba_op([node0], new_points=pts3,
+                                   new_colors=colors, frame=None,
+                                   new_node=node0, image=img0),
+            self._make_local_ba_op([node1], new_points=np.zeros((0, 3)),
+                                   new_colors=np.zeros((0, 3)), frame=frame,
+                                   new_node=node1),
+        ]
+        return ops
+
+    # ------------------------------------------------------------------
+    # Keyframe machinery
+    # ------------------------------------------------------------------
+
+    def _new_kfid(self) -> int:
+        kfid = self._kf_count
+        self._kf_count += 1
+        return kfid
+
+    def _register_kf(self, node: KeyframeNode) -> None:
+        self.last_kfid = node.kfid
+        self.live_kf_ids.add(node.kfid)
+        self.frames_since_kf = 0
+        self.ref_tracked = int((node.mp_ids >= 0).sum())
+        if self.enable_loop_closing:
+            self._loop_db[node.kfid] = node.desc[:300].copy()
+
+    def _local_3d_of(self, node: KeyframeNode) -> np.ndarray:
+        """Camera-local 3D per keypoint (0 where unknown) — the
+        KeyFrame::GetKeypointInfo contract (reference:
+        ORB-SLAM3/src/KeyFrame.cc:1169-1196)."""
+        local = np.zeros((len(node.kps_px), 3), np.float32)
+        has = node.mp_ids >= 0
+        if has.any():
+            xyz = self.map.xyz[node.mp_ids[has]]
+            xc = xyz @ node.tcw[:3, :3].T + node.tcw[:3, 3]
+            local[has] = xc.astype(np.float32)
+        return local
+
+    def _make_local_ba_op(self, window_nodes, new_points, new_colors, frame,
+                          new_node, image=None) -> MappingOperation:
+        from photo_slam_tpu.utils.math import rotmat_to_quat
+        import jax.numpy as jnp
+
+        kfs = []
+        for node in window_nodes:
+            quat = np.asarray(rotmat_to_quat(jnp.asarray(node.tcw[:3, :3])))
+            is_new = node.kfid == new_node.kfid
+            kfs.append(KeyframeData(
+                kfid=node.kfid, camera_id=self.camera.camera_id,
+                quat_wxyz=quat, trans=node.tcw[:3, 3].copy(),
+                image=(image if image is not None else
+                       (frame.image if frame is not None else None))
+                if is_new else None,
+                aux_image=(node.depth if is_new else None),
+                kps_pixel=node.kps_px if is_new else None,
+                kps_point_local=self._local_3d_of(node) if is_new else None,
+                filename=(frame.filename if (is_new and frame is not None)
+                          else ""),
+            ))
+        return MappingOperation(
+            kind=OprType.LOCAL_MAPPING_BA, keyframes=kfs,
+            points=np.asarray(new_points, np.float32),
+            colors=np.asarray(new_colors, np.float32))
+
+    def _create_keyframe(self, frame, px, desc, mp_of_feat, depth_map):
+        """Insert a keyframe: associate tracked points, create new map
+        points, cull, run local BA, emit the LocalMappingBA operation."""
+        kfid = self._new_kfid()
+        mp_ids = mp_of_feat.copy()
+        node = KeyframeNode(kfid=kfid, tcw=self.tcw.copy(), kps_px=px,
+                            desc=desc, mp_ids=mp_ids, image=frame.image,
+                            depth=depth_map)
+
+        # New map points from unmatched features.
+        new_world = np.zeros((0, 3), np.float64)
+        new_colors = np.zeros((0, 3), np.float32)
+        free = mp_ids < 0
+        if depth_map is not None and free.any():
+            d, ok, u, v = self._depth_at(depth_map, px)
+            sel = np.where(free & ok)[0]
+            if len(sel) > self.max_new_points_per_kf:
+                sel = np.random.RandomState(kfid).choice(
+                    sel, self.max_new_points_per_kf, replace=False)
+            if len(sel):
+                local = self._backproject(px[sel], d[sel])
+                twc = se3_inverse(self.tcw)
+                new_world = local @ twc[:3, :3].T + twc[:3, 3]
+                new_colors = frame.image[:, v[sel], u[sel]].T.astype(
+                    np.float32)
+                ids = self.map.add_points(new_world, desc[sel], new_colors,
+                                          kfid)
+                mp_ids[sel] = ids
+        elif self.sensor == "mono" and free.any():
+            new_world, new_colors = self._triangulate_new_points(
+                node, free)
+
+        self.map.add_keyframe(node)
+        self.map.cull_points(kfid)
+        window = self._run_local_ba(node)
+        self._register_kf(node)
+        return self._make_local_ba_op(window, new_world, new_colors, frame,
+                                      node)
+
+    def _triangulate_new_points(self, node: KeyframeNode, free: np.ndarray):
+        """Monocular new-point triangulation against the previous keyframe
+        (the role of LocalMapping::CreateNewMapPoints)."""
+        prev = self.map.keyframes.get(self.last_kfid)
+        if prev is None:
+            return np.zeros((0, 3)), np.zeros((0, 3), np.float32)
+        free_prev = prev.mp_ids < 0
+        if not free_prev.any() or not free.any():
+            return np.zeros((0, 3)), np.zeros((0, 3), np.float32)
+        ia, ib = match_descriptors(prev.desc[free_prev], node.desc[free],
+                                   max_dist=50, ratio=0.8)
+        if len(ia) < 10:
+            return np.zeros((0, 3)), np.zeros((0, 3), np.float32)
+        idx_prev = np.where(free_prev)[0][ia]
+        idx_cur = np.where(free)[0][ib]
+        P0 = self.K @ prev.tcw[:3]
+        P1 = self.K @ node.tcw[:3]
+        p0 = prev.kps_px[idx_prev].astype(np.float64)
+        p1 = node.kps_px[idx_cur].astype(np.float64)
+        pts4 = cv2.triangulatePoints(P0, P1, p0.T, p1.T)
+        w = pts4[3:4]
+        w = np.where(np.abs(w) > 1e-9, w, 1e-9)
+        pts3 = (pts4[:3] / w).T
+        z0 = (pts3 @ prev.tcw[:3, :3].T + prev.tcw[:3, 3])[:, 2]
+        z1 = (pts3 @ node.tcw[:3, :3].T + node.tcw[:3, 3])[:, 2]
+        uv0, _ = self._project(prev.tcw, pts3)
+        uv1, _ = self._project(node.tcw, pts3)
+        err0 = np.linalg.norm(uv0 - p0, axis=1)
+        err1 = np.linalg.norm(uv1 - p1, axis=1)
+        good = (z0 > self.min_depth) & (z1 > self.min_depth) & (
+            err0 < 2.0) & (err1 < 2.0) & (z0 < self.max_depth * 2)
+        if not good.any():
+            return np.zeros((0, 3)), np.zeros((0, 3), np.float32)
+        pts3 = pts3[good]
+        idx_prev, idx_cur = idx_prev[good], idx_cur[good]
+        u = np.clip(node.kps_px[idx_cur, 0].astype(np.int64), 0,
+                    self.camera.width - 1)
+        v = np.clip(node.kps_px[idx_cur, 1].astype(np.int64), 0,
+                    self.camera.height - 1)
+        colors = (node.image[:, v, u].T.astype(np.float32)
+                  if node.image is not None
+                  else np.zeros((len(u), 3), np.float32))
+        ids = self.map.add_points(pts3, node.desc[idx_cur], colors,
+                                  node.kfid)
+        node.mp_ids[idx_cur] = ids
+        prev.mp_ids[idx_prev] = ids
+        for mp, kp in zip(ids, idx_prev):
+            self.map.add_observation(int(mp), prev.kfid, int(kp))
+        return pts3, colors
+
+    def _run_local_ba(self, node: KeyframeNode) -> list[KeyframeNode]:
+        """Windowed BA over the newest keyframes; older covisible keyframes
+        (up to 2) act as fixed anchors (reference:
+        ORB-SLAM3/src/Optimizer.cc:1116)."""
+        recent = sorted(self.map.keyframes)[-self.ba_window:]
+        free_ids = recent
+        anchor_ids = [k for k in sorted(self.map.keyframes)
+                      if k not in free_ids][-2:]
+        all_ids = anchor_ids + free_ids
+        n_fixed = len(anchor_ids)
+        if len(free_ids) < 2:
+            return [node]
+        # ALWAYS anchor >= 2 poses: with a single anchor and free landmarks
+        # the problem has a scale gauge (the BA can silently rescale the
+        # map, which then drifts every subsequent PnP pose). With <= 2
+        # keyframes total this makes the BA points-only — fine.
+        while n_fixed < min(2, len(all_ids)):
+            n_fixed += 1
+
+        pt_ids = self.map.point_ids_of_kfs(all_ids)
+        if len(pt_ids) < 20:
+            return [node]
+        id_to_slot = {int(p): s for s, p in enumerate(pt_ids)}
+        kf_to_slot = {k: s for s, k in enumerate(all_ids)}
+        cam = self.camera
+        obs_pose, obs_point, obs_uv, obs_d, obs_w = [], [], [], [], []
+        for kfid in all_ids:
+            kf = self.map.keyframes[kfid]
+            for kp_idx, mp in enumerate(kf.mp_ids):
+                slot = id_to_slot.get(int(mp))
+                if slot is None:
+                    continue
+                obs_pose.append(kf_to_slot[kfid])
+                obs_point.append(slot)
+                px = kf.kps_px[kp_idx]
+                obs_uv.append(px)
+                # Depth constraint where the sensor measured it (the role
+                # of ORB-SLAM3's stereo/RGBD BA edges): weight ~ fx/d maps
+                # the depth residual to pixel-comparable units.
+                d = 0.0
+                if kf.depth is not None:
+                    u = min(max(int(px[0]), 0), cam.width - 1)
+                    v = min(max(int(px[1]), 0), cam.height - 1)
+                    d = float(kf.depth[v, u])
+                if self.min_depth < d < self.max_depth:
+                    obs_d.append(d)
+                    obs_w.append(cam.fx / d)
+                else:
+                    obs_d.append(0.0)
+                    obs_w.append(0.0)
+        if len(obs_pose) < 40:
+            return [node]
+        poses = np.stack([self.map.keyframes[k].tcw for k in all_ids])
+        _, P, X = local_ba(poses, n_fixed, self.map.xyz[pt_ids],
+                           np.asarray(obs_pose), np.asarray(obs_point),
+                           np.stack(obs_uv), cam.fx, cam.fy, cam.cx, cam.cy,
+                           max_iters=8, obs_depth=np.asarray(obs_d),
+                           obs_depth_weight=np.asarray(obs_w))
+        for k, kfid in enumerate(all_ids):
+            if k >= n_fixed:
+                self.map.keyframes[kfid].tcw = P[k]
+        self.map.xyz[pt_ids] = X
+        self.tcw = self.map.keyframes[node.kfid].tcw.copy()
+        return [self.map.keyframes[k] for k in free_ids]
+
+    # ------------------------------------------------------------------
+    # Loop closing
+    # ------------------------------------------------------------------
+
+    def _detect_loop(self, node: KeyframeNode) -> Optional[MappingOperation]:
+        """Descriptor-voting place recognition + PnP verification + SE3
+        pose-graph correction (reference: ORB-SLAM3/src/LoopClosing.cc).
+
+        Returns the LoopClosingBA operation if a loop is accepted."""
+        exclude = set([node.kfid] + self.map.covisible_kfs(node.kfid, 5))
+        exclude.update(k for k in self.map.keyframes
+                       if node.kfid - k <= self.ba_window + 4)
+        best_kfid, best_score = -1, 0
+        q = self._loop_db.get(node.kfid)
+        if q is None:
+            return None
+        for kfid, dbdesc in self._loop_db.items():
+            if kfid in exclude or kfid == node.kfid:
+                continue
+            ia, _ = match_descriptors(q, dbdesc, max_dist=45, ratio=0.85)
+            if len(ia) > best_score:
+                best_score, best_kfid = len(ia), kfid
+        if best_kfid < 0 or best_score < self.loop_min_score:
+            return None
+
+        # Geometric verification: candidate's map points vs current features.
+        cand = self.map.keyframes[best_kfid]
+        has_mp = cand.mp_ids >= 0
+        if has_mp.sum() < 20:
+            return None
+        ia, ib = match_descriptors(cand.desc[has_mp], node.desc,
+                                   max_dist=55, ratio=0.85)
+        if len(ia) < self.loop_min_inliers:
+            return None
+        obj = self.map.xyz[cand.mp_ids[has_mp][ia]]
+        img = node.kps_px[ib].astype(np.float64)
+        ok, rvec, tvec, inliers = cv2.solvePnPRansac(
+            obj, img, self.K, None, reprojectionError=5.0,
+            iterationsCount=200, flags=cv2.SOLVEPNP_ITERATIVE)
+        if not ok or inliers is None or len(inliers) < self.loop_min_inliers:
+            return None
+        R, _ = cv2.Rodrigues(rvec)
+        t_corr = np.eye(4)
+        t_corr[:3, :3] = R
+        t_corr[:3, 3] = tvec.ravel()
+
+        # Pose graph: sequential odometry edges + the loop edge.
+        kf_ids = sorted(self.map.keyframes)
+        idx = {k: i for i, k in enumerate(kf_ids)}
+        poses_old = np.stack([self.map.keyframes[k].tcw for k in kf_ids])
+        ei, ej, eT, ew = [], [], [], []
+        for a, b in zip(kf_ids[:-1], kf_ids[1:]):
+            ei.append(idx[b])
+            ej.append(idx[a])
+            eT.append(self.map.keyframes[b].tcw
+                      @ se3_inverse(self.map.keyframes[a].tcw))
+            ew.append(1.0)
+        ei.append(idx[node.kfid])
+        ej.append(idx[best_kfid])
+        eT.append(t_corr @ se3_inverse(self.map.keyframes[best_kfid].tcw))
+        ew.append(float(len(kf_ids)))  # strong loop edge
+        P = pose_graph_optimize(poses_old, 1, np.asarray(ei, np.int32),
+                                np.asarray(ej, np.int32), np.stack(eT),
+                                np.asarray(ew), max_iters=25)
+
+        # Correct map points by their first-observing keyframe's correction.
+        first = self.map.first_kf[:self.map._n]
+        alive = self.map.alive[:self.map._n]
+        for kfid in kf_ids:
+            sel = alive & (first == kfid)
+            if not sel.any():
+                continue
+            T_old = poses_old[idx[kfid]]
+            T_new = P[idx[kfid]]
+            delta = se3_inverse(T_new) @ T_old
+            self.map.xyz[:self.map._n][sel] = (
+                self.map.xyz[:self.map._n][sel] @ delta[:3, :3].T
+                + delta[:3, 3])
+        for kfid in kf_ids:
+            self.map.keyframes[kfid].tcw = P[idx[kfid]]
+        self.tcw = self.map.keyframes[node.kfid].tcw.copy()
+        self.num_loops_closed += 1
+
+        from photo_slam_tpu.utils.math import rotmat_to_quat
+        import jax.numpy as jnp
+
+        kfs = []
+        for kfid in kf_ids:
+            T = P[idx[kfid]]
+            quat = np.asarray(rotmat_to_quat(jnp.asarray(T[:3, :3])))
+            kfs.append(KeyframeData(
+                kfid=kfid, camera_id=self.camera.camera_id, quat_wxyz=quat,
+                trans=T[:3, 3].copy(),
+                is_loop_kf=kfid in (node.kfid, best_kfid)))
+        return MappingOperation(kind=OprType.LOOP_CLOSING_BA, keyframes=kfs,
+                                scale=1.0)
+
+    # ------------------------------------------------------------------
+    # Relocalization
+    # ------------------------------------------------------------------
+
+    def _relocalize(self, px, desc) -> bool:
+        """Match against all keyframes, PnP on the best (reference:
+        Tracking::Relocalization)."""
+        best_kfid, best_matches = -1, None
+        for kfid, kf in self.map.keyframes.items():
+            has = kf.mp_ids >= 0
+            if has.sum() < 20:
+                continue
+            ia, ib = match_descriptors(kf.desc[has], desc, max_dist=55,
+                                       ratio=0.8)
+            if best_matches is None or len(ia) > len(best_matches[0]):
+                best_matches = (ia, ib, has)
+                best_kfid = kfid
+        if best_kfid < 0 or best_matches is None:
+            return False
+        ia, ib, has = best_matches
+        if len(ia) < 20:
+            return False
+        kf = self.map.keyframes[best_kfid]
+        obj = self.map.xyz[kf.mp_ids[has][ia]]
+        img = px[ib].astype(np.float64)
+        ok, rvec, tvec, inliers = cv2.solvePnPRansac(
+            obj, img, self.K, None, reprojectionError=5.0,
+            iterationsCount=200, flags=cv2.SOLVEPNP_ITERATIVE)
+        if not ok or inliers is None or len(inliers) < 15:
+            return False
+        R, _ = cv2.Rodrigues(rvec)
+        self.tcw = np.eye(4)
+        self.tcw[:3, :3] = R
+        self.tcw[:3, 3] = tvec.ravel()
+        self.velocity = np.eye(4)
+        self.lost_frames = 0
+        return True
+
+    # ------------------------------------------------------------------
+    # Main entry
+    # ------------------------------------------------------------------
+
+    def process_frame(self, frame: Frame) -> list[MappingOperation]:
+        """Track one frame; returns the mapping operations to push."""
+        self._frame_idx += 1
+        px, desc, _resp = self._extract(frame)
+        depth_map = self._depth_of(frame) if self.sensor != "mono" else None
+
+        # Initialization.
+        if not self.map.keyframes:
+            if self.sensor == "mono":
+                ops = self._init_mono(frame, px, desc)
+                self._append_traj(frame)
+                return ops if ops else []
+            if depth_map is None or len(px) < 20:
+                self._append_traj(frame)
+                return []
+            op = self._init_with_depth(frame, px, desc, depth_map)
+            self._append_traj(frame)
+            return [op] if op else []
+
+        # Predicted pose; local-map tracking.
+        tcw_pred = self.velocity @ self.tcw
+        mp_of_feat, n_match = self._track_local_map(px, desc, tcw_pred)
+        tcw = None
+        if n_match >= 6:
+            tcw, n_inl, _ = self._pose_from_matches(px, mp_of_feat, tcw_pred)
+        if tcw is None:
+            # Retry with a wider search from the unpredicted pose.
+            mp_of_feat, n_match = self._track_local_map(px, desc, self.tcw)
+            if n_match >= 6:
+                tcw, n_inl, _ = self._pose_from_matches(px, mp_of_feat,
+                                                        self.tcw)
+        if tcw is None:
+            self.lost_frames += 1
+            if self.lost_frames >= 2 and self._relocalize(px, desc):
+                mp_of_feat, n_match = self._track_local_map(px, desc,
+                                                            self.tcw)
+                tcw, n_inl, _ = self._pose_from_matches(px, mp_of_feat,
+                                                        self.tcw)
+            if tcw is None:
+                self._append_traj(frame)
+                return []
+        self.lost_frames = 0
+        self.velocity = tcw @ se3_inverse(self.tcw)
+        self.tcw = tcw
+        self._append_traj(frame)
+        tracked = int((mp_of_feat >= 0).sum())
+
+        # Keyframe decision.
+        self.frames_since_kf += 1
+        need_kf = self.frames_since_kf >= self.kf_min_interval and (
+            tracked < self.kf_tracked_ratio * max(self.ref_tracked, 1)
+            or tracked < 2 * self.min_tracked
+            or self.frames_since_kf >= self.kf_max_interval)
+        if not need_kf:
+            return []
+        if self.sensor != "mono" and depth_map is None:
+            return []
+        op = self._create_keyframe(frame, px, desc, mp_of_feat, depth_map)
+        ops = [op]
+        if self.enable_loop_closing:
+            loop_op = self._detect_loop(
+                self.map.keyframes[self.last_kfid])
+            if loop_op is not None:
+                ops.append(loop_op)
+        return ops
+
+    def _append_traj(self, frame: Frame) -> None:
+        self.trajectory.append(self.tcw.copy())
+        self.traj_times.append(getattr(frame, "timestamp", None)
+                               or float(len(self.trajectory) - 1))
+
+    def run(self, frames, push) -> None:
+        """Drive the whole sequence, pushing ops to the mapper queue."""
+        for frame in frames:
+            for op in self.process_frame(frame):
+                push(op)
+        self.done = True

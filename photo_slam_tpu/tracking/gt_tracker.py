@@ -34,6 +34,7 @@ class Frame:
     depth: Optional[np.ndarray] = None  # [H,W] float32 (RGBD)
     right: Optional[np.ndarray] = None  # [3,H,W] right image (stereo)
     filename: str = ""
+    timestamp: Optional[float] = None  # seconds (trajectory savers)
 
 
 class GroundTruthTracker:

@@ -10,6 +10,10 @@ dependency-free stdlib HTTP server: the browser is the GUI. Endpoints:
   GET  /render      ?qw&qx&qy&qz&tx&ty&tz&w&h -> PNG render of that pose
                     (the renderFromPose service, gaussian_mapper.cpp:1521-1569)
   GET  /status      JSON training status (iteration, loss, #gaussians)
+  GET  /map         JSON map geometry: keyframe frusta, sparse map points,
+                    covisibility edges — the data the reference's
+                    ImGuiMapDrawer draws (reference: viewer/map_drawer.cpp);
+                    the browser overlays it on the splat render
   GET  /params      JSON VariableParameters
   POST /params      set VariableParameters
   POST /stop        signal the mapper to stop
@@ -42,6 +46,8 @@ _PAGE = """<!DOCTYPE html>
  <h3>photo_slam_tpu</h3>
  <div id="status">-</div><hr>
  <div>WASD move &middot; drag to look &middot; QE up/down</div><hr>
+ <label><input type="checkbox" id="showmap" checked> map overlay
+ (points / keyframes / covisibility)</label><hr>
  <div id="params"></div>
  <button onclick="applyParams()">apply</button>
  <button onclick="fetch('/stop',{method:'POST'})">stop training</button>
@@ -54,12 +60,66 @@ function pose(){
  const cp=Math.cos(pitch/2), sp=Math.sin(pitch/2);
  return [cy*cp, cy*sp, sy*cp, -sy*sp];
 }
+let mapData=null;
+setInterval(async()=>{try{
+ mapData=await(await fetch('/map')).json();}catch(e){}},2000);
+function rotOf(q){ // wxyz -> 3x3 row-major
+ const[w,x,y,z]=q;
+ return[1-2*(y*y+z*z),2*(x*y-w*z),2*(x*z+w*y),
+        2*(x*y+w*z),1-2*(x*x+z*z),2*(y*z-w*x),
+        2*(x*z-w*y),2*(y*z+w*x),1-2*(x*x+y*y)];
+}
+function proj(R,tv,fx,X){ // world point -> [u,v,z]
+ const x=R[0]*X[0]+R[1]*X[1]+R[2]*X[2]+tv[0];
+ const y=R[3]*X[0]+R[4]*X[1]+R[5]*X[2]+tv[1];
+ const z=R[6]*X[0]+R[7]*X[1]+R[8]*X[2]+tv[2];
+ return [c.width/2+fx*x/z, c.height/2+fx*y/z, z];
+}
+function drawOverlay(qq){
+ if(!mapData||!document.getElementById('showmap').checked)return;
+ const R=rotOf(qq), fx=(c.width/2)/Math.tan(mapData.fovx/2||0.5);
+ ctx.save();
+ // Sparse map points (reference: MapDrawer::DrawMapPoints).
+ const pts=mapData.points||[], cols=mapData.colors;
+ for(let i=0;i<pts.length;i++){
+  const p=proj(R,t,fx,pts[i]); if(p[2]<=0.05)continue;
+  ctx.fillStyle=cols?`rgb(${cols[i].map(v=>v*255|0)})`:'#3f3';
+  ctx.fillRect(p[0]-1,p[1]-1,2,2);
+ }
+ // Keyframe frusta + covisibility (DrawKeyFrames + covisibility graph).
+ const centers={};
+ for(const kf of (mapData.keyframes||[])){
+  const T=kf.twc, o=[T[0][3],T[1][3],T[2][3]]; centers[kf.id]=o;
+  const s=0.12, a=mapData.aspect||0.75;
+  const corners=[[s,s*a,2*s],[-s,s*a,2*s],[-s,-s*a,2*s],[s,-s*a,2*s]]
+   .map(v=>[T[0][0]*v[0]+T[0][1]*v[1]+T[0][2]*v[2]+o[0],
+            T[1][0]*v[0]+T[1][1]*v[1]+T[1][2]*v[2]+o[1],
+            T[2][0]*v[0]+T[2][1]*v[1]+T[2][2]*v[2]+o[2]]);
+  const po=proj(R,t,fx,o); if(po[2]<=0.05)continue;
+  ctx.strokeStyle='#08f'; ctx.beginPath();
+  for(let i=0;i<4;i++){
+   const pc=proj(R,t,fx,corners[i]), pn=proj(R,t,fx,corners[(i+1)%%4]);
+   if(pc[2]>0.05){ctx.moveTo(po[0],po[1]);ctx.lineTo(pc[0],pc[1]);
+    if(pn[2]>0.05){ctx.moveTo(pc[0],pc[1]);ctx.lineTo(pn[0],pn[1]);}}
+  }
+  ctx.stroke();
+ }
+ ctx.strokeStyle='#fa0'; ctx.beginPath();
+ for(const[a,b]of (mapData.edges||[])){
+  if(centers[a]&&centers[b]){
+   const pa=proj(R,t,fx,centers[a]), pb=proj(R,t,fx,centers[b]);
+   if(pa[2]>0.05&&pb[2]>0.05){ctx.moveTo(pa[0],pa[1]);
+    ctx.lineTo(pb[0],pb[1]);}}
+ }
+ ctx.stroke(); ctx.restore();
+}
 async function frame(){
  const qq=pose();
  const u=`/render?qw=${qq[0]}&qx=${qq[1]}&qy=${qq[2]}&qz=${qq[3]}`+
          `&tx=${t[0]}&ty=${t[1]}&tz=${t[2]}&w=${c.width}&h=${c.height}`;
  const img=new Image();
- img.onload=()=>{ctx.drawImage(img,0,0); requestAnimationFrame(frame);};
+ img.onload=()=>{ctx.drawImage(img,0,0); drawOverlay(qq);
+  requestAnimationFrame(frame);};
  img.onerror=()=>setTimeout(frame,500);
  img.src=u+`&_=${Date.now()}`;
 }
@@ -130,6 +190,9 @@ class ViewerServer:
                         "last_psnr": tr.metrics.last_psnr,
                         "num_gaussians": tr.metrics.num_live,
                     }).encode())
+                elif parsed.path == "/map":
+                    self._send(200, json.dumps(
+                        outer.map_geometry()).encode())
                 elif parsed.path == "/params":
                     self._send(200, json.dumps(
                         outer.mapper.get_variable_parameters()).encode())
@@ -163,6 +226,60 @@ class ViewerServer:
         self._server = ThreadingHTTPServer((host, port), Handler)
         self.port = self._server.server_address[1]
         self._thread: threading.Thread | None = None
+
+    # Optional: a tracking frontend (tracking.frontend.SlamFrontend) for
+    # covisibility edges; set by the app when one exists.
+    frontend = None
+
+    def map_geometry(self, max_points: int = 4000) -> dict:
+        """Keyframe frusta + sparse points + covisibility edges — the data
+        behind the reference's map drawer (reference: viewer/map_drawer.cpp:
+        DrawMapPoints / DrawKeyFrames / covisibility graph)."""
+        from photo_slam_tpu.utils.math import se3_inverse, se3_matrix
+
+        kfs = []
+        scene = self.mapper.scene
+        for fid, kf in sorted(scene.keyframes.items()):
+            twc = se3_inverse(se3_matrix(kf.quat, kf.trans))
+            kfs.append({"id": fid, "twc": np.round(twc[:3], 5).tolist()})
+
+        pts = np.zeros((0, 3), np.float32)
+        cols = None
+        fe = self.frontend
+        if fe is not None and getattr(fe, "map", None) is not None:
+            alive = fe.map.alive[:fe.map._n]
+            pts = fe.map.xyz[:fe.map._n][alive].astype(np.float32)
+            cols = fe.map.color[:fe.map._n][alive]
+        elif getattr(self.mapper, "_sparse_log_pts", None):
+            pts = np.concatenate(self.mapper._sparse_log_pts)
+            if getattr(self.mapper, "_sparse_log_cols", None):
+                cols = np.concatenate(self.mapper._sparse_log_cols)
+        if len(pts) > max_points:
+            sel = np.random.RandomState(0).choice(len(pts), max_points,
+                                                  replace=False)
+            pts = pts[sel]
+            cols = cols[sel] if cols is not None else None
+
+        edges = []
+        if fe is not None and getattr(fe, "map", None) is not None:
+            for kfid in fe.map.keyframes:
+                for other in fe.map.covisible_kfs(kfid)[:4]:
+                    if other > kfid:
+                        edges.append([kfid, other])
+        else:
+            ids = sorted(scene.keyframes)
+            edges = [[a, b] for a, b in zip(ids[:-1], ids[1:])]
+
+        cam = next(iter(scene.cameras.values()), None)
+        return {
+            "keyframes": kfs,
+            "points": np.round(pts, 4).tolist(),
+            "colors": (None if cols is None
+                       else np.round(cols, 3).tolist()),
+            "edges": edges,
+            "fovx": (cam.fovx if cam is not None else 1.0),
+            "aspect": (cam.height / cam.width if cam is not None else 0.75),
+        }
 
     def start(self) -> None:
         self._thread = threading.Thread(target=self._server.serve_forever,

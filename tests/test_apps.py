@@ -114,10 +114,13 @@ def app_run(replica_root, tmp_path_factory):
         cfg.mapper.do_gaus_pyramid_training = False
         cfg.opt.densify_from_iter = 1000  # off for speed
         ds = ds_mod.ReplicaDataset(replica_root)
+        # GT frontend: the 64x48 synthetic frames are too small for ORB
+        # tracking; the feature frontend has its own tests
+        # (tests/test_frontend.py) on trackable synthetic sequences.
         mapper = online_slam.run_online(
             ds, online_slam.SensorType.RGBD, cfg, out,
             keyframe_every=1, num_keypoints=150, max_iterations=40,
-            threaded=True)
+            threaded=True, frontend="gt")
     finally:
         ds_mod.REPLICA_CAMERA = old
     return mapper, out

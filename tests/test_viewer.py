@@ -57,6 +57,47 @@ class TestViewer:
         assert ctype == "image/png"
         assert body[:8] == b"\x89PNG\r\n\x1a\n"
 
+    def test_render_size_ladder_crop(self, viewer):
+        """Arbitrary sizes are served by ladder-render + center crop — the
+        returned PNG must match the requested dimensions exactly."""
+        srv, _ = viewer
+        import io
+
+        code, body, ctype = _get(
+            srv, "/render?qw=1&qx=0&qy=0&qz=0&tx=0&ty=0&tz=0&w=100&h=70")
+        assert code == 200 and ctype == "image/png"
+        try:
+            from PIL import Image
+            im = Image.open(io.BytesIO(body))
+            assert im.size == (100, 70)
+        except ImportError:
+            pass
+
+    def test_map_endpoint(self, viewer):
+        """Map geometry for the overlay (the reference's ImGuiMapDrawer
+        data: keyframes, points, covisibility edges)."""
+        srv, mapper = viewer
+        from photo_slam_tpu.models.keyframe import Keyframe
+
+        # Give the scene two keyframes so frusta + an edge exist.
+        cam = mapper.scene.cameras[0]
+        for fid in (0, 1):
+            kf = Keyframe(fid=fid, camera=cam)
+            kf.set_pose(np.array([1.0, 0, 0, 0]),
+                        np.array([0.1 * fid, 0, 0]))
+            mapper.scene.add_keyframe(kf)
+        mapper._sparse_log_pts = [np.random.rand(20, 3).astype(np.float32)]
+        mapper._sparse_log_cols = [np.random.rand(20, 3).astype(np.float32)]
+        code, body, _ = _get(srv, "/map")
+        m = json.loads(body)
+        assert code == 200
+        assert len(m["keyframes"]) == 2
+        assert len(m["keyframes"][0]["twc"]) == 3  # 3x4 camera-to-world
+        assert len(m["points"]) == 20
+        assert len(m["colors"]) == 20
+        assert m["edges"] == [[0, 1]]
+        assert m["fovx"] > 0
+
     def test_params_roundtrip(self, viewer):
         srv, mapper = viewer
         code, body, _ = _get(srv, "/params")

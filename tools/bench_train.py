@@ -28,7 +28,7 @@ def main():
     settings = RenderSettings(
         width=width, height=height, tan_fovx=float(np.tan(fovx / 2)),
         tan_fovy=float(np.tan(fovx / 2) * height / width), sh_degree=3,
-        mode=mode, max_tiles_per_gaussian=12, max_per_tile=1024,
+        mode=mode, max_tiles_per_gaussian=8, max_per_tile=1024,
         tiles_per_chunk=32)
     lrs = optim.LearningRates.create(1.6e-4, 2.5e-3, 0.05, 5e-3, 1e-3)
     gt = jnp.asarray(np.random.RandomState(1).rand(3, height, width)

@@ -14,6 +14,12 @@ Also measured and reported in "extra":
     config and the PSNR of its image against an overflow-free render
     (max_per_tile large enough for overflow=0), bounding the error that the
     static tile capacity introduces.
+  * mapping_psnr_db — the quality north star: a fresh model trained against
+    renders of a ground-truth splat room (the reference's protocol in
+    miniature: photometric optimization from a sparse noisy init,
+    src/gaussian_mapper.cpp:614-774) and scored by PSNR on a HELD-OUT view.
+    Reuses the same compiled render/train programs, so it costs training
+    wall-clock only.
 
 Scene: 300k Gaussians (a converged-map scale for Replica-class scenes),
 1200x680 render — the Replica camera resolution the reference benchmarks.
@@ -176,6 +182,58 @@ def main():
     log(f"[bench] train_step: {tps:.2f} iters/s "
         f"({1000 / tps:.1f} ms/iter) N={n}")
 
+    # ---- Quality north star: train a fresh model against GT-splat renders,
+    # score a held-out view. Same settings -> no new compiles.
+    gt_state = gm.create_from_pcd(pts, cols, sh_degree=3, capacity=cap)
+    from photo_slam_tpu.utils.math import inverse_sigmoid
+    gt_state = gt_state._replace(params=gt_state.params._replace(
+        opacity_logit=jnp.full_like(gt_state.params.opacity_logit,
+                                    float(inverse_sigmoid(jnp.float32(0.85))))))
+
+    def make_cam(yaw, tx, ty, tz):
+        cy, sy = np.cos(yaw), np.sin(yaw)
+        R = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+        return build_camera_matrices(R, np.array([tx, ty, tz]), 0.01, 100.0,
+                                     fovx, fovx * height / width)
+
+    views = [make_cam(0.12 * (i - 5), 0.25 * (i % 3 - 1),
+                      0.12 * (i % 2), 0.4 * (i % 4 == 0))
+             for i in range(12)]
+    test_cam = make_cam(0.05, -0.15, 0.06, 0.2)
+
+    @jax.jit
+    def _render_cam(p, l, cam_i):
+        sc, qu, op = gm.activated(p)
+        return render(p.xyz, sc, qu, op, cam_i, settings, bg,
+                      shs=gm.sh_features(p), live_mask=l).image
+
+    def render_with(st, cam_i):
+        return _render_cam(st.params, st.live, cam_i)
+
+    gt_views = [jnp.asarray(render_with(gt_state, c)) for c in views]
+    gt_test = jnp.asarray(render_with(gt_state, test_cam))
+
+    # Fresh model: subsampled noisy geometry, gray colors.
+    m_sub = 150_000
+    sel = rng.choice(n, m_sub, replace=False)
+    init_pts = pts[sel] + rng.randn(m_sub, 3).astype(np.float32) * 0.01
+    init_cols = np.full((m_sub, 3), 0.5, np.float32)
+    tr_state = gm.create_from_pcd(init_pts, init_cols, sh_degree=3,
+                                  capacity=cap)
+    tr_opt = optim.init_adam(tr_state.params)
+    quality_iters = 1200
+    t0 = time.time()
+    for i in range(quality_iters):
+        v = i % len(views)
+        tr_state, tr_opt, m = train_step(tr_state, tr_opt, views[v],
+                                         gt_views[v], mask, lrs, bg, lam,
+                                         settings)
+    jax.block_until_ready(m["loss"])
+    test_img = render_with(tr_state, test_cam)
+    mapping_psnr = float(psnr_fn(test_img, gt_test))
+    log(f"[bench] quality: {quality_iters} iters in {time.time()-t0:.1f}s, "
+        f"held-out view PSNR {mapping_psnr:.2f} dB")
+
     print(json.dumps({
         "metric": "render_fps_1200x680_300k",
         "value": round(fps, 2),
@@ -187,6 +245,7 @@ def main():
             "binning_overflow": overflow,
             "psnr_vs_exact_db": (None if psnr_vs_exact is None
                                  else round(psnr_vs_exact, 2)),
+            "mapping_psnr_db": round(mapping_psnr, 2),
         },
     }))
 

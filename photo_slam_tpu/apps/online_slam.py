@@ -89,14 +89,25 @@ def run_online(dataset, sensor: SensorType, cfg: Config, out_dir,
     if threaded:
         # Tracker runs in its own thread like the reference's main/tracking
         # thread vs the mapper thread (reference: examples/replica_rgbd.cpp:112).
-        th = threading.Thread(
-            target=tracker.run, args=(frames_with_gt(), mapper.queue.push),
-            daemon=True)
+        # A tracker crash must still flip `done`, or the mapper waits on the
+        # queue forever; the exception is re-raised after join.
+        tracker_error: list[BaseException] = []
+
+        def run_tracker():
+            try:
+                tracker.run(frames_with_gt(), mapper.queue.push)
+            except BaseException as e:  # noqa: BLE001
+                tracker_error.append(e)
+                tracker.done = True
+
+        th = threading.Thread(target=run_tracker, daemon=True)
         th.start()
         mapper.run(is_tracker_done=lambda: tracker.done,
                    live_kf_ids=lambda: tracker.live_kf_ids,
                    max_iterations=max_iterations)
         th.join()
+        if tracker_error:
+            raise tracker_error[0]
     else:
         tracker.run(frames_with_gt(), mapper.queue.push)
         mapper.run(is_tracker_done=lambda: True,
@@ -151,6 +162,14 @@ def run_online(dataset, sensor: SensorType, cfg: Config, out_dir,
           f"{len(mapper.scene.keyframes)} kfs, "
           f"{mapper.trainer.metrics.num_live} gaussians, "
           f"ate={ate}, {wall:.1f}s -> {out}")
+    if not mapper.scene.keyframes:
+        # Tracking produced nothing — surface it as a failure instead of an
+        # empty "successful" run (the feature frontend needs trackable
+        # texture; --frontend gt always works on GT-pose datasets).
+        raise SystemExit(
+            "[online_slam] ERROR: no keyframes were produced; tracking "
+            f"failed on every frame (frontend={frontend}). Check image "
+            "texture/resolution or rerun with --frontend gt.")
     return mapper
 
 

@@ -56,8 +56,20 @@ class ReplicaDataset:
             raise FileNotFoundError(f"no frame* images under {results}")
         self.load_depth_maps = load_depth_maps
         self.poses = self._load_traj(self.seq_dir / "traj.txt")
-        self.camera = Camera(camera_id=camera_id, model_id=PINHOLE,
-                             **REPLICA_CAMERA)
+        # Replica ships 1200x680; scale the intrinsics if the sequence was
+        # resized (half-res exports, synthetic mini-sequences) instead of
+        # silently sampling outside the actual images.
+        cam = dict(REPLICA_CAMERA)
+        probe = load_image_chw(self.rgb_files[0])
+        h, w = probe.shape[1], probe.shape[2]
+        if (w, h) != (cam["width"], cam["height"]):
+            sx = w / cam["width"]
+            sy = h / cam["height"]
+            cam.update(width=w, height=h, fx=cam["fx"] * sx,
+                       fy=cam["fy"] * sy,
+                       cx=(cam["cx"] + 0.5) * sx - 0.5,
+                       cy=(cam["cy"] + 0.5) * sy - 0.5)
+        self.camera = Camera(camera_id=camera_id, model_id=PINHOLE, **cam)
 
     @staticmethod
     def _load_traj(path) -> Optional[np.ndarray]:

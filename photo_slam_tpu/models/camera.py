@@ -2,10 +2,19 @@
 
 Host-side analog of the reference's Camera (reference: include/camera.h:31-139)
 without the OpenCV-CUDA dependency: undistortion uses an inverse-mapping
-remap computed in numpy (Newton iteration on the Brown-Conrady model), masks
-come from warping a white image exactly like the reference's
-undistort_mask computation (include/camera.h:88-111). Pinhole inputs with no
-distortion skip the remap entirely (the common case for Replica/COLMAP).
+remap computed in numpy, masks come from warping a white image exactly like
+the reference's undistort_mask computation (include/camera.h:88-111). Pinhole
+inputs with no distortion skip the remap entirely (the common case for
+Replica/COLMAP).
+
+Two distortion models are supported:
+  * PINHOLE + Brown-Conrady (k1 k2 p1 p2 k3) — the reference mapper's only
+    model (src/gaussian_mapper.cpp:217-222);
+  * FISHEYE = Kannala-Brandt8 (k1..k4 equidistant), the model the reference
+    SLAM supports natively (ORB-SLAM3/include/CameraModels/KannalaBrandt8.h)
+    but its mapper rejects. Here fisheye inputs are rectified to the pinhole
+    view through the same remap machinery, so the whole tracking + mapping
+    stack runs on fisheye sequences.
 """
 from __future__ import annotations
 
@@ -23,8 +32,7 @@ FISHEYE = 2
 @dataclass
 class Camera:
     camera_id: int
-    model_id: int              # PINHOLE only (reference rejects fisheye too,
-                               # src/gaussian_mapper.cpp:217-222)
+    model_id: int              # PINHOLE (Brown-Conrady) or FISHEYE (KB8)
     width: int
     height: int
     fx: float
@@ -32,7 +40,8 @@ class Camera:
     cx: float
     cy: float
     dist_coeffs: np.ndarray = field(
-        default_factory=lambda: np.zeros(5, np.float32))  # k1 k2 p1 p2 k3
+        default_factory=lambda: np.zeros(5, np.float32))
+    # PINHOLE: k1 k2 p1 p2 k3 (Brown-Conrady); FISHEYE: k1 k2 k3 k4 (KB8)
     stereo_bf: float = 0.0
     num_pyramid_levels: int = 0
     _remap: Optional[tuple[np.ndarray, np.ndarray]] = None
@@ -48,10 +57,25 @@ class Camera:
 
     @property
     def has_distortion(self) -> bool:
-        return bool(np.any(np.abs(self.dist_coeffs) > 1e-12))
+        # The equidistant fisheye projection is nonlinear even with all
+        # k coefficients zero (theta != tan(theta)), so fisheye always remaps.
+        return self.model_id == FISHEYE or bool(
+            np.any(np.abs(self.dist_coeffs) > 1e-12))
 
-    # -- Brown-Conrady distortion ------------------------------------------
     def _distort_normalized(self, x, y):
+        """Distorted normalized coords for ideal pinhole normalized (x, y)."""
+        if self.model_id == FISHEYE:
+            # Kannala-Brandt8 equidistant model (reference:
+            # ORB-SLAM3/src/CameraModels/KannalaBrandt8.cpp project()).
+            k1, k2, k3, k4 = self.dist_coeffs[:4]
+            r = np.sqrt(x * x + y * y)
+            theta = np.arctan(r)
+            t2 = theta * theta
+            theta_d = theta * (1.0 + t2 * (k1 + t2 * (k2 + t2 *
+                                                      (k3 + t2 * k4))))
+            scale = np.where(r > 1e-9, theta_d / np.maximum(r, 1e-9), 1.0)
+            return x * scale, y * scale
+        # Brown-Conrady (k1 k2 p1 p2 k3).
         k1, k2, p1, p2, k3 = self.dist_coeffs[:5]
         r2 = x * x + y * y
         radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))

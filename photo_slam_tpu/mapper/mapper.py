@@ -343,6 +343,7 @@ class GaussianMapper:
         for fid in list(self.scene.keyframes.keys()):
             if fid not in live_kf_ids:
                 del self.scene.keyframes[fid]
+                self.trainer.drop_keyframe_cache(fid)
 
     def run(self, is_tracker_done: Callable[[], bool],
             live_kf_ids: Optional[Callable[[], set[int]]] = None,

@@ -144,6 +144,45 @@ class GaussianTrainer:
         # Online mode: per-keyframe used-times drive the position LR schedule
         # (reference: src/gaussian_mapper.cpp:661-669).
         self.online_lr = False
+        # Device-side ground-truth cache: keyframes are sampled many times
+        # (times-of-use scheduling), but a naive jnp.asarray per step
+        # re-uploads ~10 MB per iteration — over the remote-TPU tunnel that
+        # dominates the step. LRU-bounded by bytes; masks are tiny and
+        # per-(camera, size), cached unbounded.
+        self._gt_cache: "dict[tuple, jnp.ndarray]" = {}
+        self._gt_cache_bytes = 0
+        self.gt_cache_budget = 2 << 30
+        self._mask_cache: "dict[tuple, jnp.ndarray]" = {}
+
+    def _device_gt(self, kf: Keyframe, level: int) -> jnp.ndarray:
+        key = (kf.fid, level)
+        hit = self._gt_cache.pop(key, None)
+        if hit is not None:
+            self._gt_cache[key] = hit  # LRU: move to back
+            return hit
+        arr = jnp.asarray(kf.level_image(level))
+        self._gt_cache[key] = arr
+        self._gt_cache_bytes += arr.nbytes
+        while self._gt_cache_bytes > self.gt_cache_budget and len(
+                self._gt_cache) > 1:
+            oldest = next(iter(self._gt_cache))
+            self._gt_cache_bytes -= self._gt_cache.pop(oldest).nbytes
+        return arr
+
+    def _device_mask(self, kf: Keyframe, height: int) -> jnp.ndarray:
+        key = (kf.camera.camera_id, height)
+        hit = self._mask_cache.get(key)
+        if hit is None:
+            hit = jnp.asarray(
+                kf.camera.undistort_mask(scale=height / kf.camera.height))
+            self._mask_cache[key] = hit
+        return hit
+
+    def drop_keyframe_cache(self, fid: int) -> None:
+        """Release cached device images of a culled keyframe."""
+        for key in [k for k in self._gt_cache if k[0] == fid]:
+            self._gt_cache_bytes -= self._gt_cache[key].nbytes
+            del self._gt_cache[key]
 
     # -- state management ----------------------------------------------------
 
@@ -264,9 +303,9 @@ class GaussianTrainer:
         level = kf.current_pyramid_level() if (
             self.cfg.mapper.do_gaus_pyramid_training and kf.pyramid
         ) else len(kf.pyramid)
-        gt = kf.level_image(level)
+        gt = self._device_gt(kf, level)
         height, width = gt.shape[1], gt.shape[2]
-        mask = kf.camera.undistort_mask(scale=height / kf.camera.height)
+        mask = self._device_mask(kf, height)
 
         tan_fovx = float(np.tan(0.5 * kf.camera.fovx))
         tan_fovy = float(np.tan(0.5 * kf.camera.fovy))
@@ -285,7 +324,7 @@ class GaussianTrainer:
         lrs = self._current_lrs(kf)
         self.state, self.opt_state, metrics = train_step(
             self.state, self.opt_state, kf.matrices,
-            jnp.asarray(gt), jnp.asarray(mask), lrs, self.bg_color,
+            gt, mask, lrs, self.bg_color,
             jnp.float32(o.lambda_dssim), settings,
         )
 

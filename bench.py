@@ -148,14 +148,30 @@ def main():
         f"({1000 * dt / iters:.1f} ms/frame)")
 
     # Overflow error bound: render with enough per-tile capacity for
-    # overflow=0 and measure the production config's PSNR against it.
+    # overflow=0 and measure the production config's PSNR against it, plus
+    # the 2-pass overflow-continuation option (exact continuation of
+    # overflowed tiles; ops/tiled.render_pallas).
     psnr_vs_exact = None
+    fps_2pass = None
+    psnr_2pass = None
     if overflow > 0:
         exact_fwd = forward_fn(make_settings(4096))
         img_exact, _, ov2 = exact_fwd(state.params, state.live)
         psnr_vs_exact = float(psnr_fn(img, img_exact))
         log(f"[bench] exact render overflow={int(ov2)}, production-config "
             f"PSNR vs exact = {psnr_vs_exact:.2f} dB")
+        two_pass = forward_fn(make_settings(1024)._replace(
+            overflow_passes=2, overflow_capacity=512))
+        img2, _, ov3 = two_pass(state.params, state.live)
+        img2.block_until_ready()
+        t0 = time.time()
+        for _ in range(iters):
+            img2, _, _ = two_pass(state.params, state.live)
+        img2.block_until_ready()
+        fps_2pass = iters / (time.time() - t0)
+        psnr_2pass = float(psnr_fn(img2, img_exact))
+        log(f"[bench] 2-pass overflow continuation: {fps_2pass:.2f} FPS, "
+            f"overflow={int(ov3)}, PSNR vs exact = {psnr_2pass:.2f} dB")
 
     # Train throughput: full step (render/loss/grad/stats/Adam).
     opt_state = optim.init_adam(state.params)
@@ -245,6 +261,10 @@ def main():
             "binning_overflow": overflow,
             "psnr_vs_exact_db": (None if psnr_vs_exact is None
                                  else round(psnr_vs_exact, 2)),
+            "fps_2pass_overflow": (None if fps_2pass is None
+                                   else round(fps_2pass, 2)),
+            "psnr_2pass_vs_exact_db": (None if psnr_2pass is None
+                                       else round(psnr_2pass, 2)),
             "mapping_psnr_db": round(mapping_psnr, 2),
         },
     }))

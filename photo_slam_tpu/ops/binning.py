@@ -31,6 +31,99 @@ import jax.numpy as jnp
 TILE = 16  # tile edge in pixels (reference: cuda_rasterizer/config.h BLOCK_X/Y)
 
 
+def _window_gather_xla(sorted_entries: jnp.ndarray, starts: jnp.ndarray,
+                       max_per_tile: int) -> jnp.ndarray:
+    idx = starts[:, None] + jnp.arange(max_per_tile, dtype=jnp.int32)[None, :]
+    idx = jnp.clip(idx, 0, sorted_entries.shape[0] - 1)
+    return sorted_entries[idx]
+
+
+def _window_gather_pallas(sorted_entries: jnp.ndarray, starts: jnp.ndarray,
+                          max_per_tile: int) -> jnp.ndarray:
+    """[T, K] windows sorted_entries[starts[t] : starts[t]+K].
+
+    Each tile's window is CONTIGUOUS in the sorted stream, but XLA only sees
+    a [T, K] random gather (measured ~10 ms at 837x1024 over a 2.4M table on
+    v5e). Here each grid step issues ONE ragged dynamic-offset DMA from HBM
+    instead — piecewise-contiguous copies, not gathers.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    e_total = sorted_entries.shape[0]
+    num_tiles = starts.shape[0]
+    rows = 8            # tiles per grid step (VMEM sublane alignment)
+    align = 1024        # HBM int32 tiling: dynamic DMA offsets must be
+                        # multiples of it, so copy [aligned, aligned+K+align)
+                        # and funnel-shift in registers.
+    k = max_per_tile
+    assert k % 128 == 0
+    sub = k // 128      # sublane rows of one K-window viewed as [sub, 128]
+    # Buffer covers k + align entries, rounded UP to a multiple of align so
+    # buf_sub is a multiple of 8 — dynamic sublane rolls need 8-aligned
+    # vector shapes (e.g. k=512 would otherwise give a 12-sublane vector,
+    # which Mosaic cannot legalize).
+    buf_entries = -(-(k + align) // align) * align
+    buf_sub = buf_entries // 128
+    t_pad = -(-num_tiles // rows) * rows
+    starts_p = jnp.pad(starts, (0, t_pad - num_tiles))
+    # Pad the stream so an aligned window never reads out of bounds, and view
+    # it as [rows_of_128, 128]: aligned window row starts are multiples of 8,
+    # which satisfies the (8, 128) HBM tiling for dynamic DMA offsets.
+    e_pad = -(-e_total // align) * align + buf_entries
+    stream = jnp.pad(sorted_entries, (0, e_pad - e_total)).reshape(-1, 128)
+
+    def kernel(starts_ref, se_ref, out_ref, buf, sems):
+        g = pl.program_id(0)
+        for i in range(rows):
+            s0row = (starts_ref[g * rows + i] // align) * (align // 128)
+            pltpu.make_async_copy(
+                se_ref.at[pl.ds(s0row, buf_sub)], buf.at[i], sems.at[i]
+            ).start()
+        for i in range(rows):
+            s = starts_ref[g * rows + i]
+            s0row = (s // align) * (align // 128)
+            pltpu.make_async_copy(
+                se_ref.at[pl.ds(s0row, buf_sub)], buf.at[i], sems.at[i]
+            ).wait()
+            r = s - s0row * 128              # in [0, align)
+            rs = r // 128
+            rl = r % 128
+            b2 = buf[i]                      # [buf_sub, 128]
+            # 1D LEFT shift by r = rs*128 + rl over the window: sublane roll
+            # by rs, then a lane funnel-shift by rl (pltpu.roll wants
+            # non-negative shifts; left shift s == roll n-s).
+            a = pltpu.roll(b2, (buf_sub - rs) % buf_sub, 0)
+            b = pltpu.roll(a, (128 - rl) % 128, 1)
+            bn = pltpu.roll(pltpu.roll(a, buf_sub - 1, 0),
+                            (128 - rl) % 128, 1)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (buf_sub, 128), 1)
+            shifted = jnp.where(lane < 128 - rl, b, bn)
+            out_ref[i] = shifted[:sub]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t_pad // rows,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((rows, sub, 128), lambda g, *_: (g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((rows, buf_sub, 128), jnp.int32),
+                        pltpu.SemaphoreType.DMA((rows,))],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t_pad, sub, 128), jnp.int32),
+    )(starts_p, stream)
+    return out[:num_tiles].reshape(num_tiles, k)
+
+
+def _on_tpu() -> bool:
+    plat = jax.devices()[0].platform
+    kind = getattr(jax.devices()[0], "device_kind", "")
+    return plat in ("tpu", "axon") or "TPU" in str(kind)
+
+
 class TileBinning(NamedTuple):
     """Static-shape binning result.
 
@@ -56,6 +149,9 @@ class TileBinning(NamedTuple):
     sorted_entries: jnp.ndarray
     sorted_tiles: jnp.ndarray
     starts: jnp.ndarray
+    # Unclipped per-tile entry counts (tile_counts = min(raw_counts, K_MAX));
+    # overflow continuation passes window in from raw_counts.
+    raw_counts: jnp.ndarray
 
 
 def tile_grid(width: int, height: int, tile: int = TILE) -> tuple[int, int]:
@@ -162,8 +258,21 @@ def bin_gaussians(
         31 - depth_bits,
     )
     slots = jnp.arange(k_dup, dtype=jnp.int32)
-    sx = x0c[:, None] + slots[None, :] % jnp.maximum(rw_f, 1)[:, None]
-    sy = y0c[:, None] + slots[None, :] // jnp.maximum(rw_f, 1)[:, None]
+    # slot -> (dx, dy) within the rect. Integer div/mod on [N, k_dup] is
+    # slow on the VPU; rw only takes k_dup distinct values, so select from a
+    # precomputed per-width offset table instead (measured ~7 ms -> ~1 ms for
+    # the key build at 2.4M entries).
+    # Widths > k_dup (possible for clipped off-center rects) behave like the
+    # plain slots%rw / slots//rw they replace: slots < k_dup so % is identity
+    # and // is zero — the k_dup-width table row.
+    rw_sel = jnp.clip(rw_f, 1, k_dup) - 1
+    dx_tab = jnp.stack([(slots % w).astype(jnp.float32)
+                        for w in range(1, k_dup + 1)])            # [k_dup, k]
+    dy_tab = jnp.stack([(slots // w).astype(jnp.float32)
+                        for w in range(1, k_dup + 1)])
+    sel = jax.nn.one_hot(rw_sel, k_dup, dtype=jnp.float32)        # [N, k_dup]
+    sx = x0c[:, None] + (sel @ dx_tab).astype(jnp.int32)
+    sy = y0c[:, None] + (sel @ dy_tab).astype(jnp.int32)
     valid = slots[None, :] < area_f[:, None]
     tile_ids = (sy * gx + sx).astype(jnp.int32)
     sentinel = jnp.int32(num_tiles) << depth_bits
@@ -194,10 +303,10 @@ def bin_gaussians(
     num_overflow = jnp.sum(jnp.maximum(counts - max_per_tile, 0))
     tile_counts = jnp.minimum(counts, max_per_tile)
 
-    idx = starts[:, None] + jnp.arange(max_per_tile, dtype=jnp.int32)[None, :]
     in_range = jnp.arange(max_per_tile, dtype=jnp.int32)[None, :] < tile_counts[:, None]
-    idx = jnp.clip(idx, 0, flat_entries.shape[0] - 1)
-    tile_lists = jnp.where(in_range, sorted_entries[idx], -1)
+    window = (_window_gather_pallas if _on_tpu() else _window_gather_xla)(
+        sorted_entries, starts, max_per_tile)
+    tile_lists = jnp.where(in_range, window, -1)
 
     return TileBinning(
         tile_lists=tile_lists,
@@ -208,4 +317,20 @@ def bin_gaussians(
         sorted_tiles=jax.lax.shift_right_logical(
             sorted_keys, depth_bits).astype(jnp.int32),
         starts=starts,
+        raw_counts=counts,
     )
+
+
+def window_lists(binning: TileBinning, offset: int,
+                 capacity: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-tile entry lists for the window [offset, offset+capacity) of each
+    tile's depth-ordered stream segment — the continuation windows of the
+    multi-pass overflow renderer (ops/tiled.render_pallas).
+
+    Returns (lists [T, capacity] with -1 padding, counts [T])."""
+    counts = jnp.clip(binning.raw_counts - offset, 0, capacity)
+    in_range = (jnp.arange(capacity, dtype=jnp.int32)[None, :]
+                < counts[:, None])
+    window = (_window_gather_pallas if _on_tpu() else _window_gather_xla)(
+        binning.sorted_entries, binning.starts + offset, capacity)
+    return jnp.where(in_range, window, -1), counts

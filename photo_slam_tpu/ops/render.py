@@ -48,6 +48,13 @@ class RenderSettings(NamedTuple):
     max_per_tile: int = 512
     tiles_per_chunk: int = 16
     mode: str = "tiled"  # "pallas" | "tiled" | "dense"
+    # Overflow continuation (pallas mode): extra blend passes over the
+    # entries beyond max_per_tile of overflowing tiles, each covering another
+    # overflow_capacity entries. Front-to-back compositing is homogeneous in
+    # the incoming transmittance, so continuation is exact:
+    # C += T_prev * C_pass, T *= T_pass.
+    overflow_passes: int = 1
+    overflow_capacity: int = 512
 
 
 class RenderResult(NamedTuple):
@@ -114,8 +121,15 @@ def render(
             bg_color,
             max_tiles_per_gaussian=settings.max_tiles_per_gaussian,
             max_per_tile=settings.max_per_tile,
+            overflow_passes=settings.overflow_passes,
+            overflow_capacity=settings.overflow_capacity,
         )
         clipped, overflow = binning.num_clipped, binning.num_overflow
+        if settings.overflow_passes > 1:
+            covered = settings.max_per_tile + (
+                settings.overflow_passes - 1) * settings.overflow_capacity
+            overflow = jnp.sum(
+                jnp.maximum(binning.raw_counts - covered, 0))
     else:
         out, binning = tiled_mod.render_tiled(
             prep,

@@ -26,10 +26,11 @@ from photo_slam_tpu.ops.dense import ALPHA_MAX, ALPHA_MIN, T_EPS, RenderOutput
 from photo_slam_tpu.ops.preprocess import Preprocessed
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
 def entry_gather(feat: jnp.ndarray, entry_lists: jnp.ndarray,
                  sorted_entries: jnp.ndarray, sorted_tiles: jnp.ndarray,
-                 starts: jnp.ndarray, tile_counts: jnp.ndarray, k_dup: int):
+                 starts: jnp.ndarray, tile_counts: jnp.ndarray, k_dup: int,
+                 slot_offset: int = 0):
     """Gather per-Gaussian rows by ENTRY id with a scatter-free transpose.
 
     entry_lists hold unique entry ids (gaussian * k_dup + slot, -1 invalid).
@@ -51,14 +52,14 @@ def entry_gather(feat: jnp.ndarray, entry_lists: jnp.ndarray,
 
 
 def _entry_gather_fwd(feat, entry_lists, sorted_entries, sorted_tiles, starts,
-                      tile_counts, k_dup):
+                      tile_counts, k_dup, slot_offset=0):
     out = entry_gather(feat, entry_lists, sorted_entries, sorted_tiles,
-                       starts, tile_counts, k_dup)
+                       starts, tile_counts, k_dup, slot_offset)
     return out, (feat.shape, entry_lists.shape, sorted_entries, sorted_tiles,
                  starts, tile_counts)
 
 
-def _entry_gather_bwd(k_dup, residuals, g):
+def _entry_gather_bwd(k_dup, slot_offset, residuals, g):
     import numpy as np
 
     (feat_shape, lists_shape, sorted_entries, sorted_tiles, starts,
@@ -80,11 +81,13 @@ def _entry_gather_bwd(k_dup, residuals, g):
         deltas, mode="drop")
     starts_stream = jnp.cumsum(starts_stream)
     iota = jnp.arange(e_total, dtype=jnp.int32)
-    slot_k = iota - starts_stream
+    slot_k = iota - starts_stream - slot_offset
     t = sorted_tiles
     # Rows past a tile's count are zero in the kernel output, so only the
-    # hard capacity and the sentinel tile need masking.
-    valid = (t < num_tiles) & (slot_k < k_max)
+    # hard window bounds and the sentinel tile need masking. slot_offset
+    # selects the continuation window [offset, offset+k_max) of each tile's
+    # stream segment (multi-pass overflow rendering).
+    valid = (t < num_tiles) & (slot_k >= 0) & (slot_k < k_max)
     ridx = jnp.where(valid, t * k_max + slot_k, jnp.int32(-1))
 
     # Route row indices back to entry order with ONE sort (sorted_entries is
@@ -220,6 +223,8 @@ def render_pallas(
     bg_color: jnp.ndarray,
     max_tiles_per_gaussian: int = 16,
     max_per_tile: int = 1024,
+    overflow_passes: int = 1,
+    overflow_capacity: int = 512,
 ) -> tuple[RenderOutput, TileBinning]:
     """Pallas-kernel blend path: bin at 32px tiles, pack entries, run the
     fused per-tile kernel (ops/pallas/blend.py), assemble the image.
@@ -228,6 +233,14 @@ def render_pallas(
     (scatter-add) routes the kernel's per-entry gradients back to Gaussians —
     the TPU answer to the reference backward's atomicAdd accumulation
     (cuda_rasterizer/backward.cu:398-557).
+
+    overflow_passes > 1 runs continuation blend passes over the depth-tail
+    entries of tiles whose count exceeds max_per_tile. Front-to-back
+    compositing is homogeneous degree-1 in the incoming transmittance
+    (every term of pass p scales by T_{p-1} per pixel), so
+    C = C_1 + T_1*C_2' and T = T_1*T_2' (primed = pass blended from T=1) is
+    EXACT — no kernel state threading needed, and the products differentiate
+    through the pallas custom VJPs by the chain rule.
     """
     from photo_slam_tpu.ops.pallas.blend import FEAT, TILE_PS, pallas_blend
     from photo_slam_tpu.ops.preprocess import tight_extents
@@ -271,6 +284,20 @@ def render_pallas(
 
     color, final_t, n_contrib = pallas_blend(
         data_tiles, binning.tile_counts, gx, num_tiles)
+
+    # Overflow continuation passes (exact, see docstring).
+    from photo_slam_tpu.ops.binning import window_lists
+    for p in range(1, overflow_passes):
+        offset = max_per_tile + (p - 1) * overflow_capacity
+        lists_p, counts_p = window_lists(binning, offset, overflow_capacity)
+        data_p = entry_gather(feat, lists_p, binning.sorted_entries,
+                              binning.sorted_tiles, binning.starts,
+                              counts_p, max_tiles_per_gaussian,
+                              slot_offset=offset)
+        c_p, t_p, n_p = pallas_blend(data_p, counts_p, gx, num_tiles)
+        color = color + final_t[:, None] * c_p
+        n_contrib = n_contrib + n_p
+        final_t = final_t * t_p
 
     # [T, 3, 8, 128] -> image. Pixel p = r*32 + c, flattened as 8x128.
     def tiles_to_image(x):

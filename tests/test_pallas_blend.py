@@ -134,3 +134,65 @@ class TestPallasBackward:
         scale = np.abs(np.asarray(g_t)).max() + 1e-8
         np.testing.assert_allclose(np.asarray(g_p) / scale,
                                    np.asarray(g_t) / scale, atol=6e-3)
+
+
+class TestOverflowContinuation:
+    """Multi-pass overflow rendering (ops/tiled.render_pallas
+    overflow_passes): the continuation is exact, so a capacity-starved
+    2-pass render must match a single pass with enough capacity."""
+
+    def _settings(self, max_per_tile, passes=1, cap=128):
+        return RenderSettings(width=W, height=H, tan_fovx=np.tan(FOVX / 2),
+                              tan_fovy=np.tan(FOVY / 2), mode="pallas",
+                              tile=32, max_per_tile=max_per_tile,
+                              max_tiles_per_gaussian=16,
+                              overflow_passes=passes, overflow_capacity=cap)
+
+    def test_two_pass_matches_big_capacity(self):
+        means, scales, quats, opac, colors = make_scene(n=600, seed=3)
+        c = cam()
+        args = (jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+                jnp.asarray(opac))
+        bg = jnp.array([0.2, 0.4, 0.1])
+        full = render(*args, c, self._settings(512), bg,
+                      colors_precomp=jnp.asarray(colors))
+        assert int(full.num_overflow) == 0
+        starved = render(*args, c, self._settings(128), bg,
+                         colors_precomp=jnp.asarray(colors))
+        assert int(starved.num_overflow) > 0, "scene must overflow at K=128"
+        two = render(*args, c, self._settings(128, passes=2, cap=384), bg,
+                     colors_precomp=jnp.asarray(colors))
+        assert int(two.num_overflow) == 0
+        # Exact continuation: matches the big-capacity render up to the
+        # T_EPS cutoff semantics (the single pass stops counting once the
+        # GLOBAL transmittance crosses 1e-4; pass 2 tests its local product,
+        # so it can include tail terms of magnitude <= 1e-4). The starved
+        # single pass differs by far more.
+        np.testing.assert_allclose(np.asarray(two.image),
+                                   np.asarray(full.image), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(two.final_T),
+                                   np.asarray(full.final_T), atol=1e-3)
+        assert np.abs(np.asarray(starved.image)
+                      - np.asarray(full.image)).max() > 1e-3
+
+    def test_two_pass_gradients_match_big_capacity(self):
+        means, scales, quats, opac, colors = make_scene(n=600, seed=3)
+        c = cam()
+        gt = jnp.asarray(
+            np.random.RandomState(1).rand(3, H, W).astype(np.float32))
+
+        def loss(o, col, s):
+            res = render(jnp.asarray(means), jnp.asarray(scales),
+                         jnp.asarray(quats), o, c, s, jnp.zeros(3),
+                         colors_precomp=col)
+            return jnp.mean((res.image - gt) ** 2)
+
+        g_full = jax.grad(loss, argnums=(0, 1))(
+            jnp.asarray(opac), jnp.asarray(colors), self._settings(512))
+        g_two = jax.grad(loss, argnums=(0, 1))(
+            jnp.asarray(opac), jnp.asarray(colors),
+            self._settings(128, passes=2, cap=384))
+        for a, b in zip(g_two, g_full):
+            scale = np.abs(np.asarray(b)).max() + 1e-8
+            np.testing.assert_allclose(np.asarray(a) / scale,
+                                       np.asarray(b) / scale, atol=6e-3)

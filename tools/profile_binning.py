@@ -20,7 +20,7 @@ from photo_slam_tpu.ops.preprocess import preprocess, tight_extents
 from bench_room import room_scene
 
 
-def timeit(name, fn, *args, reps=10):
+def timeit(name, fn, *args, reps=50):
     out = fn(*args)
     jax.block_until_ready(out)
     t0 = time.time()

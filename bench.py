@@ -105,7 +105,7 @@ def main():
             tan_fovy=float(np.tan(fovx / 2) * height / width),
             sh_degree=3,
             mode="pallas",
-            max_tiles_per_gaussian=8,
+            max_tiles_per_gaussian=6,
             max_per_tile=max_per_tile,
         )
 

@@ -125,8 +125,14 @@ class RendererParams:
     # tile, so fewer tiles per Gaussian and more entries per tile). The
     # duplication factor directly scales the binning sort and the gradient
     # transpose, so keep it tight; overflow counters surface when it clips.
-    pallas_max_tiles_per_gaussian: int = 8
+    # Measured at 300k/1200x680 (tools + /tmp/exp_kdup, v5e): k=8 14.9 it/s
+    # (clipped 1094), k=6 16.0 it/s (clipped 1139, render psnr-vs-k8
+    # 43.9 dB), k=5 17.4 it/s but 4x the clipping (4372, 39.4 dB).
+    pallas_max_tiles_per_gaussian: int = 6
     pallas_max_per_tile: int = 1024
+    # Overflow-continuation passes for recorded/evaluation renders (exact
+    # tail compositing; ops/tiled.render_pallas). Training keeps 1 pass.
+    record_overflow_passes: int = 2
     initial_capacity: int = 32768
     capacity_headroom: float = 0.25  # grow when free slots < this fraction
 

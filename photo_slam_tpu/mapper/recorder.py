@@ -23,14 +23,20 @@ def render_keyframe(mapper, kf):
     from photo_slam_tpu.ops.render import default_render_mode
 
     cam = kf.camera
+    mode = default_render_mode()
+    k_dup, per_tile = mapper.cfg.renderer.caps_for_mode(mode)
     settings = RenderSettings(
         width=cam.width, height=cam.height,
         tan_fovx=float(np.tan(cam.fovx / 2)),
         tan_fovy=float(np.tan(cam.fovy / 2)),
         sh_degree=mapper.trainer.default_sh,
-        max_tiles_per_gaussian=mapper.cfg.renderer.max_tiles_per_gaussian,
-        max_per_tile=mapper.cfg.renderer.max_per_tile,
-        mode=default_render_mode())
+        max_tiles_per_gaussian=k_dup,
+        max_per_tile=per_tile,
+        # Recorded metrics are the run's quality artifacts — render them
+        # overflow-exact (continuation passes cost only where tiles overflow).
+        overflow_passes=(mapper.cfg.renderer.record_overflow_passes
+                         if mode == "pallas" else 1),
+        mode=mode)
     state = mapper.trainer.state
     scales, quats, opac = gm.activated(state.params)
     res = render(state.params.xyz, scales, quats, opac, kf.matrices, settings,

@@ -108,6 +108,85 @@ def train_step_batched(
                               "num_visible": jnp.sum(visible.astype(jnp.int32))}
 
 
+def render_image_sharded(
+    mesh: Mesh,
+    means3d: jnp.ndarray,
+    scales: jnp.ndarray,
+    quats: jnp.ndarray,
+    opacities: jnp.ndarray,
+    cam: CameraMatrices,
+    settings: RenderSettings,
+    bg_color: jnp.ndarray,
+    shs: jnp.ndarray | None = None,
+    colors_precomp: jnp.ndarray | None = None,
+    live_mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Single-view render, tile-stripe-parallel over the mesh: every device
+    rasterizes a horizontal band of tile rows of the SAME view (model
+    replicated). Tile rasterization is embarrassingly parallel in image
+    space — per-band binning + blending needs no collectives at all; only
+    the band concat at the end touches ICI. This is the serving-latency
+    axis, complementary to `train_step_batched`'s throughput axis (which
+    parallelizes over *different* views).
+
+    Returns the full [3, H, W] image.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from photo_slam_tpu.ops import preprocess as prep_mod
+
+    n_dev = mesh.devices.size
+    tile = 32 if settings.mode == "pallas" else settings.tile
+    width, height = settings.width, settings.height
+    gy = -(-height // tile)
+    gy_band = -(-gy // n_dev)
+    band_px = gy_band * tile
+
+    prep = prep_mod.preprocess(
+        means3d, scales, quats, cam.viewmatrix, cam.full_proj,
+        cam.cam_center, width, height, settings.tan_fovx, settings.tan_fovy,
+        sh_degree=settings.sh_degree, shs=shs,
+        colors_precomp=colors_precomp,
+        scale_modifier=settings.scale_modifier, live_mask=live_mask)
+
+    band_settings = settings._replace(height=band_px)
+
+    def render_band(prep_rep, opac_rep, bg_rep):
+        d = jax.lax.axis_index("dp")
+        y0 = (d * band_px).astype(jnp.float32)
+        # Shift projected means into band-local pixel coordinates; the
+        # binning rect clip then drops Gaussians whose footprint misses the
+        # band (empty rects), exactly like off-screen culling.
+        shifted = prep_rep._replace(
+            means2d=prep_rep.means2d - jnp.stack(
+                [jnp.float32(0.0), y0])[None, :])
+        from photo_slam_tpu.ops import tiled as tiled_mod
+        if settings.mode == "pallas":
+            out, _ = tiled_mod.render_pallas(
+                shifted, opac_rep, width, band_px, bg_rep,
+                max_tiles_per_gaussian=settings.max_tiles_per_gaussian,
+                max_per_tile=settings.max_per_tile,
+                overflow_passes=settings.overflow_passes,
+                overflow_capacity=settings.overflow_capacity)
+        else:
+            out, _ = tiled_mod.render_tiled(
+                shifted, opac_rep, width, band_px, bg_rep,
+                tile=settings.tile,
+                max_tiles_per_gaussian=settings.max_tiles_per_gaussian,
+                max_per_tile=settings.max_per_tile,
+                tiles_per_chunk=settings.tiles_per_chunk)
+        return out.image[None]  # [1, 3, band_px, W]
+
+    bands = shard_map(
+        render_band, mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=P("dp", None, None, None),
+        check_rep=False,
+    )(prep, opacities, bg_color)
+    img = bands.transpose(1, 0, 2, 3).reshape(3, n_dev * band_px, width)
+    return img[:, :height, :]
+
+
 def shard_batch_args(mesh: Mesh, cams: CameraMatrices, gt_images, masks):
     """Place batch-leading arrays on the mesh, sharded over 'dp'."""
     batch_sharding = NamedSharding(mesh, P("dp"))

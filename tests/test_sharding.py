@@ -85,3 +85,43 @@ def test_default_render_mode_cpu():
     (pallas would run interpreted); TPU runs pick 'pallas'."""
     from photo_slam_tpu.ops.render import default_render_mode
     assert default_render_mode() == "tiled"
+
+
+class TestImageShardedRender:
+    def test_matches_single_device_render(self):
+        """Tile-stripe-parallel render == plain render (model replicated;
+        per-band rasterization is exact as long as nothing clips)."""
+        import numpy as np
+        import jax.numpy as jnp
+        from photo_slam_tpu.ops.camera_math import build_camera_matrices
+        from photo_slam_tpu.ops.render import RenderSettings, render
+        from photo_slam_tpu.parallel.sharding import (make_mesh,
+                                                      render_image_sharded)
+
+        rng = np.random.RandomState(0)
+        n = 400
+        means = np.stack([rng.uniform(-2, 2, n), rng.uniform(-2, 2, n),
+                          rng.uniform(3, 9, n)], 1).astype(np.float32)
+        scales = rng.uniform(0.05, 0.2, (n, 3)).astype(np.float32)
+        quats = rng.randn(n, 4).astype(np.float32)
+        quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+        opac = rng.uniform(0.3, 0.95, n).astype(np.float32)
+        cols = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+        cam = build_camera_matrices(np.eye(3), np.zeros(3), 0.01, 100.0,
+                                    1.0, 0.8)
+        settings = RenderSettings(width=96, height=128, tan_fovx=0.546,
+                                  tan_fovy=0.422, mode="tiled", tile=16,
+                                  max_per_tile=256,
+                                  max_tiles_per_gaussian=64)
+        bg = jnp.array([0.1, 0.2, 0.3])
+        ref = render(jnp.asarray(means), jnp.asarray(scales),
+                     jnp.asarray(quats), jnp.asarray(opac), cam, settings,
+                     bg, colors_precomp=jnp.asarray(cols))
+        mesh = make_mesh(4)
+        img = render_image_sharded(
+            mesh, jnp.asarray(means), jnp.asarray(scales),
+            jnp.asarray(quats), jnp.asarray(opac), cam, settings, bg,
+            colors_precomp=jnp.asarray(cols))
+        assert img.shape == (3, 128, 96)
+        np.testing.assert_allclose(np.asarray(img), np.asarray(ref.image),
+                                   atol=2e-5)

@@ -145,6 +145,17 @@ def run_online(dataset, sensor: SensorType, cfg: Config, out_dir,
         save_all_formats(out, kf_stamps, kf_tcw, kf_stamps, kf_tcw)
 
     from photo_slam_tpu.utils.profiling import device_memory_stats
+    # Per-frame tracking time + device-memory artifacts (reference:
+    # examples/replica_rgbd.cpp:164-172 TrackingTime.txt, :235-249
+    # GpuPeakUsageMB.txt).
+    track_times = getattr(tracker, "track_times", [])
+    if track_times:
+        (out / "TrackingTime.txt").write_text(
+            "\n".join(f"{t:.6f}" for t in track_times) + "\n")
+    mem = device_memory_stats()
+    peak = mem.get("peak_bytes_in_use") or mem.get("bytes_in_use")
+    (out / "GpuPeakUsageMB.txt").write_text(
+        f"{(peak or 0) / (1 << 20):.1f}\n")
     (out / "run_summary.json").write_text(json.dumps({
         "wall_seconds": wall,
         "frontend": frontend,
@@ -155,6 +166,8 @@ def run_online(dataset, sensor: SensorType, cfg: Config, out_dir,
         "ema_loss": mapper.trainer.ema_loss,
         "ate_rmse": ate,
         "loops_closed": getattr(tracker, "num_loops_closed", 0),
+        "mean_tracking_ms": (1000.0 * float(np.mean(track_times))
+                             if track_times else None),
         # GpuPeakUsageMB-equivalent (reference: examples/replica_rgbd.cpp:235)
         "device_memory": device_memory_stats(),
     }, indent=2))

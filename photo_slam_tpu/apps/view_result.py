@@ -24,7 +24,7 @@ from photo_slam_tpu.mapper.trainer import GaussianTrainer
 from photo_slam_tpu.models import gaussian_model as gm
 from photo_slam_tpu.models.scene import Scene
 from photo_slam_tpu.ops.camera_math import build_camera_matrices
-from photo_slam_tpu.ops.render import RenderSettings, render
+from photo_slam_tpu.ops.render import RenderSettings, render_jit
 
 import jax.numpy as jnp
 
@@ -74,8 +74,9 @@ def main(argv=None):
     shs = gm.sh_features(state.params)
     for name, R, t in views:
         mats = build_camera_matrices(R, t, 0.01, 100.0, fovx, fovy)
-        res = render(state.params.xyz, scales, quats, opac, mats, settings,
-                     jnp.zeros(3), shs=shs, live_mask=state.live)
+        res = render_jit(state.params.xyz, scales, quats, opac, mats,
+                         settings, jnp.zeros(3), shs=shs,
+                         live_mask=state.live)
         save_image_chw(out / f"{Path(str(name)).stem}.png",
                        np.asarray(res.image))
     print(f"[view_result] wrote {len(views)} renders -> {out}")

@@ -44,7 +44,8 @@ from photo_slam_tpu.models.keyframe import Keyframe
 from photo_slam_tpu.models.scene import Scene
 from photo_slam_tpu.ops import depth_ops
 from photo_slam_tpu.ops.camera_math import build_camera_matrices
-from photo_slam_tpu.ops.render import RenderSettings, render
+from photo_slam_tpu.ops.render import (RenderSettings, render,
+                                       render_jit)
 from photo_slam_tpu.utils.math import quat_to_rotmat, rotmat_to_quat, se3_inverse, se3_matrix
 
 
@@ -439,9 +440,10 @@ class GaussianMapper:
             max_per_tile=per_tile,
             mode=mode)
         scales, quats, opac = gm.activated(state.params)
-        res = render(state.params.xyz, scales, quats, opac, mats, settings,
-                     self.trainer.bg_color, shs=gm.sh_features(state.params),
-                     live_mask=state.live)
+        res = render_jit(state.params.xyz, scales, quats, opac, mats,
+                         settings, self.trainer.bg_color,
+                         shs=gm.sh_features(state.params),
+                         live_mask=state.live)
         img = np.asarray(res.image)
         y0 = (h2 - height) // 2
         x0 = (w2 - width) // 2

@@ -15,7 +15,7 @@ import numpy as np
 
 from photo_slam_tpu.models import gaussian_model as gm
 from photo_slam_tpu.ops import losses
-from photo_slam_tpu.ops.render import RenderSettings, render
+from photo_slam_tpu.ops.render import RenderSettings, render_jit
 
 
 def render_keyframe(mapper, kf):
@@ -39,9 +39,9 @@ def render_keyframe(mapper, kf):
         mode=mode)
     state = mapper.trainer.state
     scales, quats, opac = gm.activated(state.params)
-    res = render(state.params.xyz, scales, quats, opac, kf.matrices, settings,
-                 mapper.trainer.bg_color, shs=gm.sh_features(state.params),
-                 live_mask=state.live)
+    res = render_jit(state.params.xyz, scales, quats, opac, kf.matrices,
+                     settings, mapper.trainer.bg_color,
+                     shs=gm.sh_features(state.params), live_mask=state.live)
     return res.image
 
 

@@ -177,6 +177,7 @@ class SlamFrontend:
         self.velocity = np.eye(4)          # T_cur_prev
         self.trajectory: list[np.ndarray] = []
         self.traj_times: list[float] = []
+        self.track_times: list[float] = []  # per-frame tracking seconds
         self.frames_since_kf = 0
         self.last_kfid = -1
         self.ref_tracked = 0               # tracked count at last keyframe
@@ -289,17 +290,17 @@ class SlamFrontend:
         best_c = np.argmin(dist, axis=1)                 # per map point
         best_d = dist[np.arange(len(ids)), best_c]
         feat_idx = cand_safe[np.arange(len(ids)), best_c]
-        # Resolve collisions: the best (lowest-distance) map point wins a
-        # feature; iterate in ascending distance order.
-        best_for_feat = np.full(len(px), 256, np.int32)
-        order = np.argsort(best_d, kind="stable")
-        for j in order:
-            if best_d[j] >= 60:
-                break
-            f = feat_idx[j]
-            if best_d[j] < best_for_feat[f]:
-                best_for_feat[f] = best_d[j]
-                mp_of_feat[f] = ids[j]
+        # Resolve collisions vectorized: per feature, the lowest-distance
+        # map point wins. Sort (feature, distance) and keep each feature's
+        # first row (the Python loop this replaces cost ~10-20 ms/frame).
+        ok = best_d < 60
+        fi, bd, mi = feat_idx[ok], best_d[ok], ids[ok]
+        if len(fi):
+            order = np.lexsort((bd, fi))
+            fi, mi = fi[order], mi[order]
+            first = np.ones(len(fi), bool)
+            first[1:] = fi[1:] != fi[:-1]
+            mp_of_feat[fi[first]] = mi[first]
         return mp_of_feat, int((mp_of_feat >= 0).sum())
 
     def _track_reference_kf(self, px, desc):
@@ -492,12 +493,11 @@ class SlamFrontend:
 
     def _make_local_ba_op(self, window_nodes, new_points, new_colors, frame,
                           new_node, image=None) -> MappingOperation:
-        from photo_slam_tpu.utils.math import rotmat_to_quat
-        import jax.numpy as jnp
+        from photo_slam_tpu.utils.math import rotmat_to_quat_numpy
 
         kfs = []
         for node in window_nodes:
-            quat = np.asarray(rotmat_to_quat(jnp.asarray(node.tcw[:3, :3])))
+            quat = rotmat_to_quat_numpy(node.tcw[:3, :3])
             is_new = node.kfid == new_node.kfid
             kfs.append(KeyframeData(
                 kfid=node.kfid, camera_id=self.camera.camera_id,
@@ -775,13 +775,12 @@ class SlamFrontend:
         self.num_loops_closed += 1
         self._last_loop_kfid = node.kfid
 
-        from photo_slam_tpu.utils.math import rotmat_to_quat
-        import jax.numpy as jnp
+        from photo_slam_tpu.utils.math import rotmat_to_quat_numpy
 
         kfs = []
         for kfid in kf_ids:
             T = self.map.keyframes[kfid].tcw
-            quat = np.asarray(rotmat_to_quat(jnp.asarray(T[:3, :3])))
+            quat = rotmat_to_quat_numpy(T[:3, :3])
             kfs.append(KeyframeData(
                 kfid=kfid, camera_id=self.camera.camera_id, quat_wxyz=quat,
                 trans=T[:3, 3].copy(),
@@ -859,6 +858,17 @@ class SlamFrontend:
 
     def process_frame(self, frame: Frame) -> list[MappingOperation]:
         """Track one frame; returns the mapping operations to push."""
+        import time as _time
+
+        t0 = _time.perf_counter()
+        try:
+            return self._process_frame(frame)
+        finally:
+            # Per-frame tracking wall time (the reference's TrackingTime.txt,
+            # examples/replica_rgbd.cpp:164-172).
+            self.track_times.append(_time.perf_counter() - t0)
+
+    def _process_frame(self, frame: Frame) -> list[MappingOperation]:
         self._frame_idx += 1
         frame = self._rectify_frame(frame)
         px, desc, _resp = self._extract(frame)

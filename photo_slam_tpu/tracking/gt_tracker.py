@@ -53,6 +53,8 @@ class GroundTruthTracker:
         self._kf_count = 0
         self.done = False
         self.live_kf_ids: set[int] = set()
+        self.track_times: list[float] = []  # per-frame seconds (parity
+        # with the feature frontend's TrackingTime.txt artifact)
 
     def _sample_keypoints(self, frame: Frame):
         """Grid-jittered keypoint pixels + camera-local 3D where depth valid
@@ -98,6 +100,15 @@ class GroundTruthTracker:
 
     def process_frame(self, frame: Frame) -> Optional[MappingOperation]:
         """Returns a MappingOperation when this frame becomes a keyframe."""
+        import time as _time
+
+        t0 = _time.perf_counter()
+        try:
+            return self._process_frame(frame)
+        finally:
+            self.track_times.append(_time.perf_counter() - t0)
+
+    def _process_frame(self, frame: Frame) -> Optional[MappingOperation]:
         idx = self._frame_idx
         self._frame_idx += 1
         if idx % self.keyframe_every != 0:

@@ -139,13 +139,48 @@ def quat_multiply(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def quat_to_rotmat_numpy(q: np.ndarray) -> np.ndarray:
+    """Host-side 3x3 rotation from a (w,x,y,z) quaternion. The tracking
+    frontend converts poses per frame — routing these tiny ops through JAX
+    costs milliseconds of dispatch each (measured in the frontend profile)."""
+    w, x, y, z = (float(v) for v in np.asarray(q, np.float64))
+    n = (w * w + x * x + y * y + z * z) ** 0.5
+    w, x, y, z = w / n, x / n, y / n, z / n
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ], np.float64)
+
+
+def rotmat_to_quat_numpy(R: np.ndarray) -> np.ndarray:
+    """Host-side 3x3 rotation -> (w,x,y,z) quaternion (Shoemake)."""
+    R = np.asarray(R, np.float64)
+    m00, m11, m22 = R[0, 0], R[1, 1], R[2, 2]
+    tr = m00 + m11 + m22
+    if tr > 0.0:
+        s = np.sqrt(tr + 1.0) * 2.0
+        q = np.array([0.25 * s, (R[2, 1] - R[1, 2]) / s,
+                      (R[0, 2] - R[2, 0]) / s, (R[1, 0] - R[0, 1]) / s])
+    elif m00 >= m11 and m00 >= m22:
+        s = np.sqrt(max(1.0 + m00 - m11 - m22, 1e-12)) * 2.0
+        q = np.array([(R[2, 1] - R[1, 2]) / s, 0.25 * s,
+                      (R[0, 1] + R[1, 0]) / s, (R[0, 2] + R[2, 0]) / s])
+    elif m11 >= m22:
+        s = np.sqrt(max(1.0 + m11 - m00 - m22, 1e-12)) * 2.0
+        q = np.array([(R[0, 2] - R[2, 0]) / s, (R[0, 1] + R[1, 0]) / s,
+                      0.25 * s, (R[1, 2] + R[2, 1]) / s])
+    else:
+        s = np.sqrt(max(1.0 + m22 - m00 - m11, 1e-12)) * 2.0
+        q = np.array([(R[1, 0] - R[0, 1]) / s, (R[0, 2] + R[2, 0]) / s,
+                      (R[1, 2] + R[2, 1]) / s, 0.25 * s])
+    return q / np.linalg.norm(q)
+
+
 def se3_matrix(quat_wxyz: np.ndarray, t: np.ndarray) -> np.ndarray:
     """4x4 rigid transform from unit quaternion (w,x,y,z) + translation."""
-    q = np.asarray(quat_wxyz, dtype=np.float64)
-    q = q / np.linalg.norm(q)
-    R = np.asarray(quat_to_rotmat(jnp.asarray(q)))
     T = np.eye(4, dtype=np.float64)
-    T[:3, :3] = R
+    T[:3, :3] = quat_to_rotmat_numpy(quat_wxyz)
     T[:3, 3] = np.asarray(t, dtype=np.float64)
     return T
 

@@ -23,7 +23,7 @@ from photo_slam_tpu.ops.pallas.blend import FEAT, TILE_PS, pallas_blend
 from bench_room import room_scene
 
 
-def timeit(name, fn, *args, reps=10):
+def timeit(name, fn, *args, reps=50):
     out = fn(*args)
     jax.block_until_ready(out)
     t0 = time.time()
@@ -39,7 +39,7 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 300_000
     width, height = 1200, 680
     fovx = 1.2
-    k_dup = 12
+    k_dup = int(sys.argv[2]) if len(sys.argv) > 2 else 6
     max_per_tile = 1024
     pts, cols = room_scene(n)
     state = gm.create_from_pcd(pts, cols, sh_degree=3, capacity=n)

@@ -44,8 +44,7 @@ from photo_slam_tpu.models.keyframe import Keyframe
 from photo_slam_tpu.models.scene import Scene
 from photo_slam_tpu.ops import depth_ops
 from photo_slam_tpu.ops.camera_math import build_camera_matrices
-from photo_slam_tpu.ops.render import (RenderSettings, render,
-                                       render_jit)
+from photo_slam_tpu.ops.render import RenderSettings, render_jit
 from photo_slam_tpu.utils.math import quat_to_rotmat, rotmat_to_quat, se3_inverse, se3_matrix
 
 
@@ -354,6 +353,15 @@ class GaussianMapper:
         culling."""
         o = self.cfg.opt
         max_iter = max_iterations or o.max_num_iterations
+        # An opacity reset needs recovery iterations before the run's final
+        # recording (the reference sidesteps this by configuring 30100
+        # iterations — NOT a multiple of its 3000-iter reset interval,
+        # cfg/.../replica_rgbd.yaml; a reset on the last iterations would
+        # record a washed-out map). Disallow resets near the end.
+        reset_margin = max(200, (o.opacity_reset_interval or 0) // 10)
+
+        def can_reset():
+            return self.trainer.iteration + reset_margin < max_iter
 
         # Phase 1: wait for initial conditions.
         while not self.stopped and not self.initial_mapped:
@@ -378,7 +386,8 @@ class GaussianMapper:
             if self.cfg.mapper.cull_keyframes and live_kf_ids is not None:
                 self.cull_keyframes(live_kf_ids())
             self.trainer.train_iteration(
-                fetch_metrics=self.trainer.iteration % 10 == 0)
+                fetch_metrics=self.trainer.iteration % 10 == 0,
+                allow_opacity_reset=can_reset())
 
         # Phase 3: tail optimization through the densification window
         # (reference: 527-534).
@@ -387,7 +396,8 @@ class GaussianMapper:
                 and self.trainer.iteration < max_iter):
             self.combine_mapping_operations()
             self.trainer.train_iteration(
-                fetch_metrics=self.trainer.iteration % 10 == 0)
+                fetch_metrics=self.trainer.iteration % 10 == 0,
+                allow_opacity_reset=can_reset())
 
         if self.result_dir is not None:
             self.finalize(self.result_dir)

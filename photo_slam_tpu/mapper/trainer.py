@@ -276,7 +276,8 @@ class GaussianTrainer:
         )
 
     def train_iteration(self, kf: Optional[Keyframe] = None,
-                        fetch_metrics: bool = True) -> dict[str, Any]:
+                        fetch_metrics: bool = True,
+                        allow_opacity_reset: bool = True) -> dict[str, Any]:
         """One full pass of trainForOneIteration
         (reference: src/gaussian_mapper.cpp:614-774).
 
@@ -344,7 +345,7 @@ class GaussianTrainer:
                 )
                 self.metrics.num_dropped += int(info.num_dropped)
 
-            if o.opacity_reset_interval and (
+            if allow_opacity_reset and o.opacity_reset_interval and (
                 it % o.opacity_reset_interval == 0
                 or (self.cfg.model.white_background and it == o.densify_from_iter)
             ):

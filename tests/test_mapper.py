@@ -245,3 +245,37 @@ class TestMonoDensify:
         assert v[0] and v[1] and not v[2]  # far point has no donor in radius
         # Borrowed depth = donor's z.
         assert float(pts[1, 2]) == pytest.approx(3.0)
+
+
+class TestOpacityResetMargin:
+    def test_no_reset_on_final_iterations(self):
+        """A run whose max_iterations lands on the opacity-reset interval
+        must NOT end with a just-reset (washed-out) map — resets are
+        disallowed within the recovery margin of the end (the reference
+        sidesteps this by configuring 30100 iters vs its 3000 interval)."""
+        import jax
+
+        cam = make_camera()
+        world = gt_world()
+        frames = make_frames(world, cam, num=4)
+        cfg = Config()
+        cfg.renderer.initial_capacity = 2048
+        cfg.mapper.min_num_initial_map_kfs = 2
+        cfg.mapper.do_gaus_pyramid_training = False
+        cfg.opt.densify_from_iter = 10000
+        cfg.opt.densify_until_iter = 10000  # keep phase-3 window open
+        cfg.opt.opacity_reset_interval = 10
+        mapper = GaussianMapper(cfg, SensorType.RGBD)
+        mapper.add_camera(cam)
+        tracker = GroundTruthTracker(cam, keyframe_every=1)
+        tracker.run(iter(frames), mapper.queue.push)
+        # 20 iterations == 2x the reset interval: both reset points fall
+        # inside the margin (max(200, 1) >= 20), so neither fires.
+        mapper.run(is_tracker_done=lambda: True, max_iterations=20)
+        assert mapper.trainer.iteration == 20
+        st = mapper.trainer.state
+        live_op = np.asarray(jax.nn.sigmoid(
+            st.params.opacity_logit[:, 0]))[np.asarray(st.live)]
+        assert live_op.mean() > 0.05, (
+            f"map ended washed out (mean opacity {live_op.mean():.4f}) — "
+            "opacity reset fired within the recovery margin")

@@ -91,15 +91,19 @@ void so3_log(const double R[9], double w[3]) {
         return;
     }
     if (theta > M_PI - 1e-6) {
-        // Near pi: extract axis from diagonal.
-        for (int i = 0; i < 3; ++i) {
-            double d = R[i * 3 + i];
-            double a = std::sqrt(std::fmax((d + 1.0) / 2.0, 0.0));
-            w[i] = a;
-        }
-        // Fix signs from off-diagonals.
-        if (R[1] + R[3] < 0) w[1] = -w[1];
-        if (R[2] + R[6] < 0) w[2] = -w[2];
+        // Near pi: R ~ 2*u*u^T - I. Pivot on the largest diagonal element
+        // (its axis component is largest and safely nonzero) and derive the
+        // other two components from the symmetric off-diagonals — sign
+        // fixes keyed off a single fixed component are wrong when that
+        // component vanishes (e.g. axis (0, a, -a)).
+        int k = 0;
+        if (R[4] > R[k * 3 + k]) k = 1;
+        if (R[8] > R[k * 3 + k]) k = 2;
+        int i = (k + 1) % 3, j = (k + 2) % 3;
+        double uk = std::sqrt(std::fmax((R[k * 3 + k] + 1.0) / 2.0, 1e-12));
+        double ui = (R[k * 3 + i] + R[i * 3 + k]) / (4.0 * uk);
+        double uj = (R[k * 3 + j] + R[j * 3 + k]) / (4.0 * uk);
+        w[k] = uk; w[i] = ui; w[j] = uj;
         double n = std::sqrt(w[0] * w[0] + w[1] * w[1] + w[2] * w[2]);
         if (n > 1e-12) {
             w[0] *= theta / n;

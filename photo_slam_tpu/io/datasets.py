@@ -357,9 +357,24 @@ class EurocDataset:
 
     def frames(self) -> Iterator[Frame]:
         n = len(self)
-        for i, ((ts, lp), (_, rp)) in enumerate(zip(self.left, self.right)):
-            if i >= n:
+        # Pair cam0/cam1 by TIMESTAMP, not list index: EuRoC sequences drop
+        # frames on one camera (V2_03 drops ~400 on cam1), and index-zipping
+        # would misalign every stereo pair after the first gap.
+        right_by_ts = {ts: rp for ts, rp in self.right}
+        right_times = np.array(sorted(right_by_ts)) if right_by_ts else None
+        count = 0
+        for ts, lp in self.left:
+            if count >= n:
                 break
+            rp = right_by_ts.get(ts)
+            if rp is None and right_times is not None and len(right_times):
+                j = int(np.argmin(np.abs(right_times - ts)))
+                # Tolerate sub-half-frame jitter (EuRoC is 20 Hz -> 50 ms).
+                if abs(int(right_times[j]) - ts) <= 25e6:
+                    rp = right_by_ts[int(right_times[j])]
+            if rp is None:
+                continue  # unmatched left frame: skip, do not misalign
+            count += 1
             img = load_image_chw(lp)
             right = load_image_chw(rp)
             if self._maps is not None:

@@ -248,17 +248,26 @@ class GaussianMapper:
                 jnp.asarray(d), cam.fx, cam.fy, cam.cx, cam.cy))
 
         elif self.sensor == SensorType.STEREO:
-            right = kf.img_aux
-            if right is None or kf.image is None:
-                return
-            disp = self._stereo_disparity(kf.image, right)
-            if disp is None:
+            aux = kf.img_aux
+            if aux is None or kf.image is None:
                 return
             u = np.clip(kf.kps_pixel[:, 0].astype(np.int64), 0, cam.width - 1)
             v = np.clip(kf.kps_pixel[:, 1].astype(np.int64), 0, cam.height - 1)
-            dsp = disp[v, u]
-            valid = dsp > max(self.cfg.mapper.stereo_min_disparity, 1e-6)
-            depth = np.where(valid, cam.stereo_bf / np.maximum(dsp, 1e-6), 0.0)
+            if np.asarray(aux).ndim == 2:
+                # The frontend already solved stereo: aux IS a depth map
+                # (the SlamFrontend computes SGBM depth for tracking and
+                # forwards it; the GT tracker forwards the raw right image).
+                d = np.asarray(aux)[v, u]
+                valid = (d > m.rgbd_min_depth) & (d < m.rgbd_max_depth)
+                depth = np.where(valid, d, 0.0)
+            else:
+                disp = self._stereo_disparity(kf.image, aux)
+                if disp is None:
+                    return
+                dsp = disp[v, u]
+                valid = dsp > max(self.cfg.mapper.stereo_min_disparity, 1e-6)
+                depth = np.where(valid, cam.stereo_bf / np.maximum(dsp, 1e-6),
+                                 0.0)
             pts_cam = np.asarray(depth_ops.backproject_pinhole(
                 jnp.asarray(u, jnp.float32), jnp.asarray(v, jnp.float32),
                 jnp.asarray(depth), cam.fx, cam.fy, cam.cx, cam.cy))

@@ -149,8 +149,6 @@ def render_image_sharded(
         colors_precomp=colors_precomp,
         scale_modifier=settings.scale_modifier, live_mask=live_mask)
 
-    band_settings = settings._replace(height=band_px)
-
     def render_band(prep_rep, opac_rep, bg_rep):
         d = jax.lax.axis_index("dp")
         y0 = (d * band_px).astype(jnp.float32)

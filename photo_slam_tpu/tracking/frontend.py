@@ -29,7 +29,6 @@ triangulation, scene scaled to unit median depth
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
 from typing import Optional
 
 import numpy as np
@@ -127,15 +126,6 @@ class FeatureGrid:
 # ---------------------------------------------------------------------------
 
 
-@dataclass
-class FrontendResult:
-    tcw: Optional[np.ndarray]
-    num_tracked: int
-    is_keyframe: bool
-    lost: bool = False
-    loop_closed: bool = False
-
-
 class SlamFrontend:
     """Feature-based SLAM frontend over the MappingOperation protocol."""
 
@@ -189,6 +179,7 @@ class SlamFrontend:
         self.live_kf_ids: set[int] = set()
         # Loop detection database: kfid -> strongest descriptors.
         self._loop_db: dict[int, np.ndarray] = {}
+        self._loop_sigs: dict[int, np.ndarray] = {}
         self._last_loop_kfid = -(1 << 30)
         self._mono_init: Optional[tuple] = None   # (px, desc, image)
 
@@ -381,14 +372,18 @@ class SlamFrontend:
         scene scaled to unit median depth."""
         if self._mono_init is None:
             if len(px) >= 100:
-                self._mono_init = (px, desc, frame.image)
+                self._mono_init = (px, desc, frame.image,
+                                   getattr(frame, "raw_image", frame.image))
             return None
-        px0, desc0, img0 = self._mono_init
+        # img0 (rectified) samples keypoint colors; raw0 is the op payload —
+        # the mapper undistorts incoming keyframe images itself.
+        px0, desc0, img0, raw0 = self._mono_init
         ia, ib = match_descriptors(desc0, desc, max_dist=60, ratio=0.9)
         if len(ia) < 80:
             # Replace the init frame if matching degrades.
             if len(px) >= 100:
-                self._mono_init = (px, desc, frame.image)
+                self._mono_init = (px, desc, frame.image,
+                                   getattr(frame, "raw_image", frame.image))
             return None
         p0 = px0[ia].astype(np.float64)
         p1 = px[ib].astype(np.float64)
@@ -453,7 +448,7 @@ class SlamFrontend:
         ops = [
             self._make_local_ba_op([node0], new_points=pts3,
                                    new_colors=colors, frame=None,
-                                   new_node=node0, image=img0),
+                                   new_node=node0, image=raw0),
             self._make_local_ba_op([node1], new_points=np.zeros((0, 3)),
                                    new_colors=np.zeros((0, 3)), frame=frame,
                                    new_node=node1),
@@ -477,7 +472,19 @@ class SlamFrontend:
         # Every keyframe enters the place-recognition database even while
         # detection is disabled (the reference's KeyFrameDatabase likewise
         # receives all keyframes) — detection toggles querying, not indexing.
-        self._loop_db[node.kfid] = node.desc[:300].copy()
+        # Keep the STRONGEST 300 descriptors (by detector response when
+        # available), plus a majority-bit signature for O(1) candidate
+        # prefiltering (the compact stand-in for DBoW2's inverted index).
+        desc = node.desc
+        resp = getattr(self, "_last_resp", None)
+        if resp is not None and len(resp) == len(desc):
+            desc = desc[np.argsort(-resp)]
+        db = desc[:300].copy()
+        self._loop_db[node.kfid] = db
+        if len(db):
+            bits = np.unpackbits(db, axis=1)
+            self._loop_sigs[node.kfid] = np.packbits(
+                bits.mean(axis=0) >= 0.5)
 
     def _local_3d_of(self, node: KeyframeNode) -> np.ndarray:
         """Camera-local 3D per keypoint (0 where unknown) — the
@@ -698,12 +705,27 @@ class SlamFrontend:
                        if node.kfid - k <= self.ba_window + 4)
         best_kfid, best_score = -1, 0
         q = self._loop_db.get(node.kfid)
-        if q is None:
+        qsig = self._loop_sigs.get(node.kfid)
+        if q is None or qsig is None:
             return None
-        for kfid, dbdesc in self._loop_db.items():
-            if kfid in exclude or kfid == node.kfid:
-                continue
-            ia, _ = match_descriptors(q, dbdesc, max_dist=45, ratio=0.85)
+        # Stage 1 — signature prefilter: one vectorized Hamming pass over
+        # per-keyframe majority-bit signatures, keep the closest few. The
+        # full ratio-test match costs ~10 ms/pair, so a linear scan would
+        # stall the tracking thread for seconds late in a run.
+        cand_ids = [k for k in self._loop_db
+                    if k not in exclude and k != node.kfid
+                    and k in self._loop_sigs]
+        if not cand_ids:
+            return None
+        sigs = np.stack([self._loop_sigs[k] for k in cand_ids])
+        sig_d = np.bitwise_count(np.bitwise_xor(sigs, qsig[None])).sum(1) \
+            if hasattr(np, "bitwise_count") else \
+            _POPCOUNT[np.bitwise_xor(sigs, qsig[None])].sum(1)
+        top = np.argsort(sig_d)[:5]
+        for j in top:
+            kfid = cand_ids[int(j)]
+            ia, _ = match_descriptors(q, self._loop_db[kfid], max_dist=45,
+                                      ratio=0.85)
             if len(ia) > best_score:
                 best_score, best_kfid = len(ia), kfid
         if best_kfid < 0 or best_score < self.loop_min_score:
@@ -871,7 +893,8 @@ class SlamFrontend:
     def _process_frame(self, frame: Frame) -> list[MappingOperation]:
         self._frame_idx += 1
         frame = self._rectify_frame(frame)
-        px, desc, _resp = self._extract(frame)
+        px, desc, resp = self._extract(frame)
+        self._last_resp = resp
         depth_map = self._depth_of(frame) if self.sensor != "mono" else None
 
         # Initialization.

@@ -230,12 +230,16 @@ def se3_log_numpy(T: np.ndarray) -> np.ndarray:
         w = 0.5 * np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0],
                             R[1, 0] - R[0, 1]])
     elif theta > np.pi - 1e-6:
-        # Near pi: axis from the diagonal of (R + I)/2.
-        ax = np.sqrt(np.maximum(np.diag(R) + 1.0, 0.0) / 2.0)
-        if R[0, 1] + R[1, 0] < 0:
-            ax[1] = -ax[1]
-        if R[0, 2] + R[2, 0] < 0:
-            ax[2] = -ax[2]
+        # Near pi: R ~ 2 u u^T - I. Pivot on the largest diagonal element
+        # (its axis component is safely nonzero) and derive the others from
+        # the symmetric off-diagonals — fixed-component sign tests fail for
+        # axes like (0, a, -a) where the tested products vanish.
+        k = int(np.argmax(np.diag(R)))
+        i, j = (k + 1) % 3, (k + 2) % 3
+        ax = np.zeros(3)
+        ax[k] = np.sqrt(max((R[k, k] + 1.0) / 2.0, 1e-12))
+        ax[i] = (R[k, i] + R[i, k]) / (4.0 * ax[k])
+        ax[j] = (R[k, j] + R[j, k]) / (4.0 * ax[k])
         n = np.linalg.norm(ax)
         w = theta * ax / n if n > 1e-12 else np.zeros(3)
     else:

@@ -24,13 +24,10 @@ from photo_slam_tpu.utils.math import se3_inverse
 
 def _twc_quat(tcw: np.ndarray):
     """camera-to-world translation + quaternion (w, x, y, z)."""
-    import jax.numpy as jnp
-
-    from photo_slam_tpu.utils.math import rotmat_to_quat
+    from photo_slam_tpu.utils.math import rotmat_to_quat_numpy
 
     twc = se3_inverse(np.asarray(tcw, np.float64))
-    q = np.asarray(rotmat_to_quat(jnp.asarray(twc[:3, :3])))
-    return twc, q
+    return twc, rotmat_to_quat_numpy(twc[:3, :3])
 
 
 def save_tum(path, stamps: Sequence[float],

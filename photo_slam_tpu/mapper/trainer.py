@@ -75,7 +75,8 @@ def train_step(
 
     # Densification statistics (reference: src/gaussian_mapper.cpp:703-719).
     state = dz.update_max_radii(state, res.radii, res.visible)
-    state = dz.add_densification_stats(state, g2d, res.visible)
+    state = dz.add_densification_stats(state, g2d, res.visible,
+                                       settings.width, settings.height)
 
     params, opt_state = optim.adam_step(state.params, grads, opt_state, lrs,
                                         live)
@@ -218,10 +219,19 @@ class GaussianTrainer:
         cap = self.state.capacity
         live = int(gm.num_live(self.state))
         headroom = int(cap * self.cfg.renderer.capacity_headroom)
+        if cap >= self.cfg.renderer.max_capacity:
+            # At the HBM-budget ceiling: structural inserts overflow-drop
+            # (mode="drop") instead of growing the buckets — unbounded
+            # densification otherwise compiles itself out of device memory
+            # (observed: 24 GB of HLO temps at a 4M bucket on a 16 GB v5e).
+            return
         if live + incoming + headroom > cap:
             new_cap = gm.round_capacity(
                 int((live + incoming) * (1.0 + self.cfg.renderer.capacity_headroom) * 2))
             new_cap = max(new_cap, cap * 2)
+            new_cap = min(new_cap, self.cfg.renderer.max_capacity)
+            if new_cap <= cap:
+                return
             self.state = gm.grow_capacity(self.state, new_cap)
             self.opt_state = optim.AdamState(
                 m=jax.tree.map(

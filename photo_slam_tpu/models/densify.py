@@ -45,10 +45,20 @@ class DensifyInfo(NamedTuple):
 
 
 def add_densification_stats(state: GaussianState, means2d_grad: jnp.ndarray,
-                            visible: jnp.ndarray) -> GaussianState:
+                            visible: jnp.ndarray, width: int = 2,
+                            height: int = 2) -> GaussianState:
     """Accumulate ||dL/dmean2d||_2 for visible Gaussians
-    (reference: src/gaussian_model.cpp:817-831)."""
-    norm = jnp.linalg.norm(means2d_grad[:, :2], axis=-1)
+    (reference: src/gaussian_model.cpp:817-831).
+
+    width/height convert PIXEL-unit position gradients to the reference's
+    half-viewport (NDC-like) units: the CUDA backward multiplies
+    dL/dmean2D by ddelx_dx = 0.5*W / ddely_dy = 0.5*H
+    (cuda_rasterizer/backward.cu:460-465) BEFORE the densify threshold
+    (2e-4) sees it. Without this, pixel-unit gradients are ~0.5*W times
+    smaller and clone/split never fires — maps only shrink."""
+    g = means2d_grad[:, :2] * jnp.array([0.5 * width, 0.5 * height],
+                                        jnp.float32)[None, :]
+    norm = jnp.linalg.norm(g, axis=-1)
     return state._replace(
         xyz_grad_accum=state.xyz_grad_accum + jnp.where(visible, norm, 0.0),
         denom=state.denom + visible.astype(jnp.float32),

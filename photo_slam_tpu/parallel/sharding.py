@@ -99,7 +99,8 @@ def train_step_batched(
     visible = jnp.any(visible_b, axis=0)
     radii = jnp.max(radii_b, axis=0)
     state = dz.update_max_radii(state, radii, visible)
-    state = dz.add_densification_stats(state, g2d, visible)
+    state = dz.add_densification_stats(state, g2d, visible,
+                                       settings.width, settings.height)
 
     params, opt_state = optim.adam_step(state.params, grads, opt_state, lrs,
                                         state.live)

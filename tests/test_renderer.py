@@ -230,3 +230,33 @@ class TestGradients:
             om = o0.at[i].add(-eps)
             fd = (float(loss_fn(op)) - float(loss_fn(om))) / (2 * eps)
             assert g[i] == pytest.approx(fd, rel=0.05, abs=1e-6)
+
+
+class TestWindowLists:
+    def test_continuation_windows_partition_the_stream(self):
+        """window_lists(offset, cap) must return exactly the depth-ordered
+        entries [offset, offset+cap) of each tile's stream segment — the
+        contract the multi-pass overflow renderer builds on."""
+        import numpy as np
+        from photo_slam_tpu.ops.binning import bin_gaussians, window_lists
+
+        rng = np.random.RandomState(0)
+        n, w, h, k_dup = 3000, 128, 96, 8
+        means = jnp.asarray(rng.rand(n, 2) * [w, h])
+        depths = jnp.asarray(rng.rand(n) * 5 + 0.5)
+        radii = jnp.asarray(rng.randint(1, 10, n).astype(np.float32))
+        b = bin_gaussians(means, depths, radii, jnp.ones(n, bool), w, h,
+                          tile=32, max_tiles_per_gaussian=k_dup,
+                          max_per_tile=128)
+        se = np.asarray(b.sorted_entries)
+        starts = np.asarray(b.starts)
+        raw = np.asarray(b.raw_counts)
+        for offset, cap in ((128, 128), (0, 128), (64, 256)):
+            lists, counts = window_lists(b, offset, cap)
+            lists, counts = np.asarray(lists), np.asarray(counts)
+            for t in range(len(starts)):
+                want = se[starts[t] + offset: starts[t] + min(raw[t],
+                                                              offset + cap)]
+                got = lists[t][: counts[t]]
+                np.testing.assert_array_equal(got, want)
+                assert (lists[t][counts[t]:] == -1).all()

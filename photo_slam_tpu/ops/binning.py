@@ -39,7 +39,8 @@ def _window_gather_xla(sorted_entries: jnp.ndarray, starts: jnp.ndarray,
 
 
 def _window_gather_pallas(sorted_entries: jnp.ndarray, starts: jnp.ndarray,
-                          max_per_tile: int) -> jnp.ndarray:
+                          max_per_tile: int,
+                          interpret: bool = False) -> jnp.ndarray:
     """[T, K] windows sorted_entries[starts[t] : starts[t]+K].
 
     Each tile's window is CONTIGUOUS in the sorted stream, but XLA only sees
@@ -51,6 +52,12 @@ def _window_gather_pallas(sorted_entries: jnp.ndarray, starts: jnp.ndarray,
     from jax.experimental.pallas import tpu as pltpu
 
     e_total = sorted_entries.shape[0]
+    # Clamp: continuation windows (window_lists with offset>0) can request
+    # starts past the stream end for tiles whose segment is exhausted. Their
+    # counts are 0 so the caller masks the values — but the aligned dynamic-
+    # offset DMA below would read past the padded buffer (OOB HBM DMA).
+    # Clamped to e_total, every aligned window stays inside e_pad.
+    starts = jnp.minimum(starts, jnp.int32(e_total))
     num_tiles = starts.shape[0]
     rows = 8            # tiles per grid step (VMEM sublane alignment)
     align = 1024        # HBM int32 tiling: dynamic DMA offsets must be
@@ -114,6 +121,7 @@ def _window_gather_pallas(sorted_entries: jnp.ndarray, starts: jnp.ndarray,
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((t_pad, sub, 128), jnp.int32),
+        interpret=interpret,
     )(starts_p, stream)
     return out[:num_tiles].reshape(num_tiles, k)
 

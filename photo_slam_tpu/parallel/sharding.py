@@ -132,7 +132,7 @@ def render_image_sharded(
 
     Returns the full [3, H, W] image.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from photo_slam_tpu.ops import preprocess as prep_mod
 

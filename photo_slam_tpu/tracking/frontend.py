@@ -181,7 +181,8 @@ class SlamFrontend:
         self._loop_db: dict[int, np.ndarray] = {}
         self._loop_sigs: dict[int, np.ndarray] = {}
         self._last_loop_kfid = -(1 << 30)
-        self._mono_init: Optional[tuple] = None   # (px, desc, image)
+        self._mono_init: Optional[tuple] = None  # (px, desc, img, raw, resp)
+        self._last_resp: Optional[np.ndarray] = None
 
     # ------------------------------------------------------------------
     # Basics
@@ -357,7 +358,7 @@ class SlamFrontend:
         mp_ids[ok] = ids
         node = KeyframeNode(kfid=kfid, tcw=tcw.copy(), kps_px=px, desc=desc,
                             mp_ids=mp_ids, image=frame.image,
-                            depth=depth_map)
+                            depth=depth_map, resp=self._last_resp)
         self.map.add_keyframe(node)
         self._register_kf(node)
         self.tcw = tcw
@@ -373,17 +374,19 @@ class SlamFrontend:
         if self._mono_init is None:
             if len(px) >= 100:
                 self._mono_init = (px, desc, frame.image,
-                                   getattr(frame, "raw_image", frame.image))
+                                   getattr(frame, "raw_image", frame.image),
+                                   self._last_resp)
             return None
         # img0 (rectified) samples keypoint colors; raw0 is the op payload —
         # the mapper undistorts incoming keyframe images itself.
-        px0, desc0, img0, raw0 = self._mono_init
+        px0, desc0, img0, raw0, resp0 = self._mono_init
         ia, ib = match_descriptors(desc0, desc, max_dist=60, ratio=0.9)
         if len(ia) < 80:
             # Replace the init frame if matching degrades.
             if len(px) >= 100:
                 self._mono_init = (px, desc, frame.image,
-                                   getattr(frame, "raw_image", frame.image))
+                                   getattr(frame, "raw_image", frame.image),
+                                   self._last_resp)
             return None
         p0 = px0[ia].astype(np.float64)
         p1 = px[ib].astype(np.float64)
@@ -430,7 +433,7 @@ class SlamFrontend:
         mp0 = np.full(len(px0), -1, np.int64)
         mp0[sel0] = ids
         node0 = KeyframeNode(kfid=kfid0, tcw=np.eye(4), kps_px=px0,
-                             desc=desc0, mp_ids=mp0, image=img0)
+                             desc=desc0, mp_ids=mp0, image=img0, resp=resp0)
         self.map.add_keyframe(node0)
         self._register_kf(node0)
 
@@ -438,7 +441,8 @@ class SlamFrontend:
         mp1 = np.full(len(px), -1, np.int64)
         mp1[sel1] = ids
         node1 = KeyframeNode(kfid=kfid1, tcw=T1.copy(), kps_px=px, desc=desc,
-                             mp_ids=mp1, image=frame.image)
+                             mp_ids=mp1, image=frame.image,
+                             resp=self._last_resp)
         self.map.add_keyframe(node1)
         self._register_kf(node1)
 
@@ -475,8 +479,11 @@ class SlamFrontend:
         # Keep the STRONGEST 300 descriptors (by detector response when
         # available), plus a majority-bit signature for O(1) candidate
         # prefiltering (the compact stand-in for DBoW2's inverted index).
+        # Sort by the node's OWN extraction-time responses — not the
+        # frontend-global last extraction, which can belong to a different
+        # frame (e.g. node0 in _init_mono).
         desc = node.desc
-        resp = getattr(self, "_last_resp", None)
+        resp = node.resp
         if resp is not None and len(resp) == len(desc):
             desc = desc[np.argsort(-resp)]
         db = desc[:300].copy()
@@ -531,7 +538,7 @@ class SlamFrontend:
         mp_ids = mp_of_feat.copy()
         node = KeyframeNode(kfid=kfid, tcw=self.tcw.copy(), kps_px=px,
                             desc=desc, mp_ids=mp_ids, image=frame.image,
-                            depth=depth_map)
+                            depth=depth_map, resp=self._last_resp)
 
         # New map points from unmatched features.
         new_world = np.zeros((0, 3), np.float64)
@@ -965,8 +972,10 @@ class SlamFrontend:
 
     def _append_traj(self, frame: Frame) -> None:
         self.trajectory.append(self.tcw.copy())
-        self.traj_times.append(getattr(frame, "timestamp", None)
-                               or float(len(self.trajectory) - 1))
+        ts = getattr(frame, "timestamp", None)
+        # Explicit None check: a legitimate timestamp of exactly 0.0 is falsy.
+        self.traj_times.append(ts if ts is not None
+                               else float(len(self.trajectory) - 1))
 
     def run(self, frames, push) -> None:
         """Drive the whole sequence, pushing ops to the mapper queue."""

@@ -25,6 +25,7 @@ class KeyframeNode:
     mp_ids: np.ndarray               # [K] int64 map-point id per kp, -1 none
     image: Optional[np.ndarray] = None   # [3,H,W] float32 (for op payloads)
     depth: Optional[np.ndarray] = None   # [H,W] or None
+    resp: Optional[np.ndarray] = None    # [K] detector responses at extraction
 
 
 class LocalMap:

@@ -260,3 +260,24 @@ class TestWindowLists:
                 got = lists[t][: counts[t]]
                 np.testing.assert_array_equal(got, want)
                 assert (lists[t][counts[t]:] == -1).all()
+
+    def test_pallas_window_gather_clamps_past_stream_end(self):
+        """Continuation windows can request starts past the sorted stream's
+        end (tiles whose segment is exhausted; counts==0 masks the values).
+        The ragged-DMA kernel must clamp those starts so its aligned
+        dynamic-offset DMAs stay inside the padded buffer, while in-range
+        windows are returned exactly (interpret mode stands in for TPU)."""
+        import numpy as np
+        from photo_slam_tpu.ops.binning import (_window_gather_pallas,
+                                                _window_gather_xla)
+
+        rng = np.random.RandomState(1)
+        e_total, k = 5000, 256
+        se = jnp.asarray(rng.randint(0, 10 ** 6, e_total).astype(np.int32))
+        starts = jnp.asarray(np.array(
+            [0, 100, 4999, 5000, 5000 + 1024, 4000, 123, 777], np.int32))
+        got = np.asarray(_window_gather_pallas(se, starts, k, interpret=True))
+        want = np.asarray(_window_gather_xla(se, starts, k))
+        in_range = (np.asarray(starts)[:, None]
+                    + np.arange(k)[None, :]) < e_total
+        np.testing.assert_array_equal(got[in_range], want[in_range])

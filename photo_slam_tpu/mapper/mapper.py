@@ -113,7 +113,9 @@ class GaussianMapper:
 
     def _apply_loop_closing(self, op: MappingOperation) -> None:
         m = self.cfg.mapper
-        scale = op.scale
+        # Per-keyframe Sim3 scales when the op carries them (mono essential
+        # graphs), else the reference's single per-op scale.
+        per_kf = any(getattr(k, "scale", 1.0) != 1.0 for k in op.keyframes)
         not_transformed = jnp.ones(
             self.trainer.state.capacity if self.trainer.state else 0,
             dtype=bool) if self.initial_mapped else None
@@ -122,6 +124,7 @@ class GaussianMapper:
             if kf is None:
                 self.handle_new_keyframe(kf_data)
                 continue
+            scale = getattr(kf_data, "scale", 1.0) if per_kf else op.scale
             # Pose delta test (reference: 901-908): diff = new_Twc * old_Tcw.
             old_tcw = se3_matrix(kf.quat, kf.trans)
             new_tcw = se3_matrix(kf_data.quat_wxyz, kf_data.trans)
@@ -131,7 +134,9 @@ class GaussianMapper:
                                         atol=m.large_rotation_threshold)
             large_trans = not (np.abs(diff[:3, 3])
                                <= m.large_translation_threshold).all()
-            if (large_rot or large_trans) and self.initial_mapped:
+            large_scale = abs(scale - 1.0) > 0.01
+            if (large_rot or large_trans or large_scale) \
+                    and self.initial_mapped:
                 # t = (s * R_new * t_old) + t_new (reference: 909-912).
                 diff_adj = diff.copy()
                 diff_adj[:3, 3] = scale * (diff[:3, 3] - new_twc[:3, 3]) + (
@@ -356,10 +361,13 @@ class GaussianMapper:
 
     def run(self, is_tracker_done: Callable[[], bool],
             live_kf_ids: Optional[Callable[[], set[int]]] = None,
-            max_iterations: Optional[int] = None) -> None:
+            max_iterations: Optional[int] = None,
+            batch: int = 1) -> None:
         """The 3-phase online loop. `is_tracker_done` polls tracker shutdown;
         `live_kf_ids` (optional) provides the current keyframe set for
-        culling."""
+        culling. `batch > 1` runs the multi-view batched train step (B
+        keyframes per optimization step; shards over a device mesh via
+        parallel/sharding.train_step_batched)."""
         o = self.cfg.opt
         max_iter = max_iterations or o.max_num_iterations
         # An opacity reset needs recovery iterations before the run's final
@@ -371,6 +379,24 @@ class GaussianMapper:
 
         def can_reset():
             return self.trainer.iteration + reset_margin < max_iter
+
+        def train_once():
+            if batch > 1:
+                kfs = []
+                for _ in range(batch):
+                    kf = self.trainer.sampler.sample_sliding_window(
+                        self.scene.keyframes)
+                    if kf is not None:
+                        kfs.append(kf)
+                if kfs:
+                    self.trainer.train_iteration_batched(
+                        kfs,
+                        fetch_metrics=self.trainer.iteration % 10 == 0,
+                        allow_opacity_reset=can_reset())
+                    return
+            self.trainer.train_iteration(
+                fetch_metrics=self.trainer.iteration % 10 == 0,
+                allow_opacity_reset=can_reset())
 
         # Phase 1: wait for initial conditions.
         while not self.stopped and not self.initial_mapped:
@@ -394,9 +420,7 @@ class GaussianMapper:
             self.combine_mapping_operations()
             if self.cfg.mapper.cull_keyframes and live_kf_ids is not None:
                 self.cull_keyframes(live_kf_ids())
-            self.trainer.train_iteration(
-                fetch_metrics=self.trainer.iteration % 10 == 0,
-                allow_opacity_reset=can_reset())
+            train_once()
 
         # Phase 3: tail optimization through the densification window
         # (reference: 527-534).
@@ -404,9 +428,7 @@ class GaussianMapper:
                 self.trainer.iteration < o.densify_until_iter
                 and self.trainer.iteration < max_iter):
             self.combine_mapping_operations()
-            self.trainer.train_iteration(
-                fetch_metrics=self.trainer.iteration % 10 == 0,
-                allow_opacity_reset=can_reset())
+            train_once()
 
         if self.result_dir is not None:
             self.finalize(self.result_dir)

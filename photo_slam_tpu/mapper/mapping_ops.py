@@ -42,6 +42,10 @@ class KeyframeData:
     kps_pixel: Optional[np.ndarray] = None   # [K,2]
     kps_point_local: Optional[np.ndarray] = None  # [K,3] camera frame
     filename: str = ""
+    # Per-keyframe similarity scale for LoopClosingBA corrections (Sim3
+    # essential graphs give each keyframe its own scale; the reference's
+    # single per-op scale is the degenerate uniform case).
+    scale: float = 1.0
 
 
 @dataclass

@@ -40,6 +40,7 @@ from photo_slam_tpu.native import local_ba, pose_graph_optimize, pose_optimize
 from photo_slam_tpu.tracking.gt_tracker import Frame
 from photo_slam_tpu.tracking.local_map import KeyframeNode, LocalMap
 from photo_slam_tpu.utils.math import se3_inverse
+from photo_slam_tpu.utils.sim3 import Sim3, sim3_pose_graph_optimize
 
 try:
     import cv2
@@ -52,6 +53,14 @@ except Exception:  # pragma: no cover
 # ---------------------------------------------------------------------------
 
 _POPCOUNT = np.array([bin(i).count("1") for i in range(256)], np.uint8)
+
+
+def _sig_distances(qsig: np.ndarray, sigs: np.ndarray) -> np.ndarray:
+    """Hamming distance of one packed signature [32] to many [K,32]."""
+    x = np.bitwise_xor(sigs, qsig[None])
+    if hasattr(np, "bitwise_count"):
+        return np.bitwise_count(x).sum(1)
+    return _POPCOUNT[x].sum(1)
 
 
 def hamming_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -160,6 +169,14 @@ class SlamFrontend:
         self.max_new_points_per_kf = max_new_points_per_kf
 
         self.map = LocalMap()
+        # Multi-map recovery (the role of ORB-SLAM3's Atlas): on persistent
+        # tracking loss the active map is stashed and a fresh sub-map starts
+        # at the last known pose; a loop-style detection against a stashed
+        # map merges them.
+        self._old_maps: list[LocalMap] = []
+        self._submap_seed: Optional[np.ndarray] = None
+        self.submap_after_lost = 12
+        self.num_maps_merged = 0
         self.K = np.array([[camera.fx, 0, camera.cx],
                            [0, camera.fy, camera.cy], [0, 0, 1]], np.float64)
 
@@ -183,6 +200,8 @@ class SlamFrontend:
         self._last_loop_kfid = -(1 << 30)
         self._mono_init: Optional[tuple] = None  # (px, desc, img, raw, resp)
         self._last_resp: Optional[np.ndarray] = None
+        self._frame_grid: Optional[FeatureGrid] = None
+        self.last_frame_vis: Optional[tuple] = None
 
     # ------------------------------------------------------------------
     # Basics
@@ -263,8 +282,13 @@ class SlamFrontend:
         if len(ids) == 0:
             return mp_of_feat, 0
         mdesc = self.map.desc[ids]
-        grid = FeatureGrid(px, cam.width, cam.height,
-                           cell=max(8, int(self.match_radius)))
+        # The grid depends only on this frame's keypoints — reuse it across
+        # the (up to 3) tracking retries instead of rebuilding per attempt.
+        grid = self._frame_grid
+        if grid is None:
+            grid = FeatureGrid(px, cam.width, cam.height,
+                               cell=max(8, int(self.match_radius)))
+            self._frame_grid = grid
         cand = grid.candidates(uv)                       # [M, C]
         cand_ok = cand >= 0
         cand_safe = np.where(cand_ok, cand, 0)
@@ -345,6 +369,9 @@ class SlamFrontend:
         if frame.quat_wxyz is not None:
             from photo_slam_tpu.utils.math import se3_matrix
             tcw = se3_matrix(frame.quat_wxyz, frame.trans)
+        elif self._submap_seed is not None:
+            tcw = self._submap_seed.copy()
+        self._submap_seed = None
         d, ok, u, v = self._depth_at(depth_map, px)
         if ok.sum() < 20:
             return None
@@ -421,6 +448,16 @@ class SlamFrontend:
         pts3 = pts3 / med
         T1[:3, 3] /= med
 
+        # Sub-map restarts seed the init at the last known pose so the new
+        # map continues in (approximately) the old frame.
+        T0 = np.eye(4)
+        T1_rel = T1.copy()
+        if self._submap_seed is not None:
+            T0 = self._submap_seed.copy()
+            self._submap_seed = None
+            pts3 = (pts3 - T0[:3, 3]) @ T0[:3, :3]  # inv(T0) applied
+            T1 = T1 @ T0
+
         # Build the two keyframes + map points.
         sel0 = ia[m][good]
         sel1 = ib[m][good]
@@ -432,7 +469,7 @@ class SlamFrontend:
         ids = self.map.add_points(pts3, desc0[sel0], colors, kfid0)
         mp0 = np.full(len(px0), -1, np.int64)
         mp0[sel0] = ids
-        node0 = KeyframeNode(kfid=kfid0, tcw=np.eye(4), kps_px=px0,
+        node0 = KeyframeNode(kfid=kfid0, tcw=T0, kps_px=px0,
                              desc=desc0, mp_ids=mp0, image=img0, resp=resp0)
         self.map.add_keyframe(node0)
         self._register_kf(node0)
@@ -447,7 +484,7 @@ class SlamFrontend:
         self._register_kf(node1)
 
         self.tcw = T1
-        self.velocity = T1.copy()
+        self.velocity = T1_rel
         self._mono_init = None
         ops = [
             self._make_local_ba_op([node0], new_points=pts3,
@@ -671,13 +708,20 @@ class SlamFrontend:
         return True
 
     def _run_local_ba(self, node: KeyframeNode) -> list[KeyframeNode]:
-        """Windowed BA over the newest keyframes; older covisible keyframes
-        (up to 2) act as fixed anchors (reference:
-        ORB-SLAM3/src/Optimizer.cc:1116)."""
-        recent = sorted(self.map.keyframes)[-self.ba_window:]
-        free_ids = recent
-        anchor_ids = [k for k in sorted(self.map.keyframes)
-                      if k not in free_ids][-2:]
+        """Windowed BA over the keyframes COVISIBLE with the new one; other
+        keyframes observing the window's points (up to 2, by covisibility)
+        act as fixed anchors (reference: ORB-SLAM3/src/Optimizer.cc:1116
+        LocalBundleAdjustment optimizes the covisible set — on revisits this
+        re-optimizes old keyframes seeing the same structure, which a
+        recency window never would)."""
+        covis = self.map.covisible_kfs(node.kfid, min_shared=15)
+        free_ids = sorted({node.kfid, *covis[:self.ba_window - 1]})
+        # Anchors: the strongest covisible keyframes left out of the window,
+        # falling back to the newest non-window keyframes.
+        outside = [k for k in covis if k not in free_ids]
+        outside += [k for k in sorted(self.map.keyframes, reverse=True)
+                    if k not in free_ids and k not in outside]
+        anchor_ids = outside[:2]
         all_ids = anchor_ids + free_ids
         n_fixed = len(anchor_ids)
         if len(free_ids) < 2:
@@ -725,9 +769,7 @@ class SlamFrontend:
         if not cand_ids:
             return None
         sigs = np.stack([self._loop_sigs[k] for k in cand_ids])
-        sig_d = np.bitwise_count(np.bitwise_xor(sigs, qsig[None])).sum(1) \
-            if hasattr(np, "bitwise_count") else \
-            _POPCOUNT[np.bitwise_xor(sigs, qsig[None])].sum(1)
+        sig_d = _sig_distances(qsig, sigs)
         top = np.argsort(sig_d)[:5]
         for j in top:
             kfid = cand_ids[int(j)]
@@ -739,7 +781,13 @@ class SlamFrontend:
             return None
 
         # Geometric verification: candidate's map points vs current features.
-        cand = self.map.keyframes[best_kfid]
+        # The candidate may live in a STASHED map (multi-map recovery): a
+        # verified match then merges the active sub-map into it.
+        cand_map = (self.map if best_kfid in self.map.keyframes
+                    else self._find_map_of(best_kfid))
+        if cand_map is None:
+            return None
+        cand = cand_map.keyframes[best_kfid]
         has_mp = cand.mp_ids >= 0
         if has_mp.sum() < 20:
             return None
@@ -747,7 +795,8 @@ class SlamFrontend:
                                    max_dist=55, ratio=0.85)
         if len(ia) < self.loop_min_inliers:
             return None
-        obj = self.map.xyz[cand.mp_ids[has_mp][ia]]
+        matched_pt_ids = cand.mp_ids[has_mp][ia]
+        obj = cand_map.xyz[matched_pt_ids]
         img = node.kps_px[ib].astype(np.float64)
         ok, rvec, tvec, inliers = cv2.solvePnPRansac(
             obj, img, self.K, None, reprojectionError=5.0,
@@ -759,38 +808,78 @@ class SlamFrontend:
         t_corr[:3, :3] = R
         t_corr[:3, 3] = tvec.ravel()
 
-        # Pose graph: sequential odometry edges + the loop edge.
+        if cand_map is not self.map:
+            return self._merge_maps(cand_map, node, best_kfid, R, tvec,
+                                    inliers, ib, obj, matched_pt_ids)
+
+        s_node = self._loop_scale(node, obj, inliers, ib, R, tvec)
+
+        # Essential graph: sequential odometry edges + covisibility edges +
+        # the loop edge (reference: ORB-SLAM3/src/Optimizer.cc:1762
+        # OptimizeEssentialGraph — covisibility edges give non-chain
+        # topologies a path to distribute the loop error).
         kf_ids = sorted(self.map.keyframes)
         idx = {k: i for i, k in enumerate(kf_ids)}
         poses_old = np.stack([self.map.keyframes[k].tcw for k in kf_ids])
-        ei, ej, eT, ew = [], [], [], []
-        for a, b in zip(kf_ids[:-1], kf_ids[1:]):
+        ei, ej, eT, es, ew = [], [], [], [], []
+
+        def add_edge(b, a, T, s, w):
             ei.append(idx[b])
             ej.append(idx[a])
-            eT.append(self.map.keyframes[b].tcw
-                      @ se3_inverse(self.map.keyframes[a].tcw))
-            ew.append(1.0)
-        ei.append(idx[node.kfid])
-        ej.append(idx[best_kfid])
-        eT.append(t_corr @ se3_inverse(self.map.keyframes[best_kfid].tcw))
-        ew.append(float(len(kf_ids)))  # strong loop edge
-        P = pose_graph_optimize(poses_old, 1, np.asarray(ei, np.int32),
-                                np.asarray(ej, np.int32), np.stack(eT),
-                                np.asarray(ew), max_iters=25)
+            eT.append(T)
+            es.append(s)
+            ew.append(w)
 
-        # Correct map points by their first-observing keyframe's correction.
+        for a, b in zip(kf_ids[:-1], kf_ids[1:]):
+            add_edge(b, a, self.map.keyframes[b].tcw
+                     @ se3_inverse(self.map.keyframes[a].tcw), 1.0, 1.0)
+        seen_pairs = set(zip(kf_ids[:-1], kf_ids[1:]))
+        for b in kf_ids:
+            for a in self.map.covisible_kfs(b, min_shared=20)[:5]:
+                if a >= b or (a, b) in seen_pairs:
+                    continue
+                seen_pairs.add((a, b))
+                add_edge(b, a, self.map.keyframes[b].tcw
+                         @ se3_inverse(self.map.keyframes[a].tcw), 1.0, 1.0)
+        s_corr = Sim3(s_node, R, s_node * tvec.ravel())
+        loop_edge = s_corr.compose(Sim3.from_se3(
+            self.map.keyframes[best_kfid].tcw).inverse())
+        loop_T = np.eye(4)
+        loop_T[:3, :3] = loop_edge.R
+        loop_T[:3, 3] = loop_edge.t
+        add_edge(node.kfid, best_kfid, loop_T, loop_edge.s,
+                 float(len(kf_ids)))  # strong loop edge
+
+        if self.sensor == "mono":
+            P, s_new = sim3_pose_graph_optimize(
+                poses_old, np.ones(len(kf_ids)), 1,
+                np.asarray(ei, np.int32), np.asarray(ej, np.int32),
+                np.stack(eT), np.asarray(es), np.asarray(ew), max_iters=25)
+        else:
+            P = pose_graph_optimize(poses_old, 1, np.asarray(ei, np.int32),
+                                    np.asarray(ej, np.int32), np.stack(eT),
+                                    np.asarray(ew), max_iters=25)
+            s_new = np.ones(len(kf_ids))
+
+        # Correct map points by their first-observing keyframe's similarity
+        # correction delta = S_new^-1 o S_old (scale 1/s_k shrinks scale-
+        # inflated structure back to the anchor gauge; reference:
+        # LoopClosing::CorrectLoop map-point Sim3 mapping).
         first = self.map.first_kf[:self.map._n]
         alive = self.map.alive[:self.map._n]
+        kf_scales = {}
         for kfid in kf_ids:
+            k = idx[kfid]
+            s_k = float(s_new[k])
+            kf_scales[kfid] = s_k
             sel = alive & (first == kfid)
             if not sel.any():
                 continue
-            T_old = poses_old[idx[kfid]]
-            T_new = P[idx[kfid]]
-            delta = se3_inverse(T_new) @ T_old
-            self.map.xyz[:self.map._n][sel] = (
-                self.map.xyz[:self.map._n][sel] @ delta[:3, :3].T
-                + delta[:3, 3])
+            s_new_sim = Sim3(s_k, P[k][:3, :3], s_k * P[k][:3, 3])
+            delta = s_new_sim.inverse().compose(
+                Sim3.from_se3(poses_old[k]))
+            self.map.xyz[:self.map._n][sel] = delta.apply(
+                self.map.xyz[:self.map._n][sel])
         for kfid in kf_ids:
             self.map.keyframes[kfid].tcw = P[idx[kfid]]
         # Global BA over the corrected graph (the role of
@@ -813,19 +902,224 @@ class SlamFrontend:
             kfs.append(KeyframeData(
                 kfid=kfid, camera_id=self.camera.camera_id, quat_wxyz=quat,
                 trans=T[:3, 3].copy(),
-                is_loop_kf=kfid in (node.kfid, best_kfid)))
+                is_loop_kf=kfid in (node.kfid, best_kfid),
+                # The mapper's masked point transform multiplies points by
+                # this scale — 1/s_k undoes the kf's drift inflation
+                # (mapper._apply_loop_closing; reference:
+                # src/gaussian_mapper.cpp:909-912).
+                scale=1.0 / kf_scales[kfid]))
         return MappingOperation(kind=OprType.LOOP_CLOSING_BA, keyframes=kfs,
-                                scale=1.0)
+                                scale=1.0 / kf_scales[node.kfid])
+
+    def _loop_scale(self, node: KeyframeNode, obj: np.ndarray,
+                    inliers: np.ndarray, ib: np.ndarray, R: np.ndarray,
+                    tvec: np.ndarray) -> float:
+        """Relative loop scale (monocular drift): the PnP pose is scale-
+        blind, but comparing the matched OLD map points' depths in the
+        corrected camera against the CURRENT map's depths of the same
+        features measures the local scale inflation s = z_cur / z_old (the
+        role of LoopClosing::ComputeSim3; sensor depth is metric, so
+        non-mono loops stay SE3). s multiplies the corrected Sim3's
+        translation (X_drifted_cam = s * (R @ X_old + t_pnp))."""
+        if self.sensor != "mono":
+            return 1.0
+        inl = inliers.ravel()
+        cur_mp = node.mp_ids[ib[inl]]
+        have = cur_mp >= 0
+        if have.sum() < 8:
+            return 1.0
+        x_cur = self.map.xyz[cur_mp[have]]
+        z_cur = (x_cur @ node.tcw[:3, :3].T + node.tcw[:3, 3])[:, 2]
+        z_old = (obj[inl][have] @ R.T + tvec.ravel())[:, 2]
+        ok_z = (z_cur > 1e-6) & (z_old > 1e-6)
+        if ok_z.sum() < 8:
+            return 1.0
+        return float(np.clip(np.median(z_cur[ok_z] / z_old[ok_z]),
+                             0.25, 4.0))
+
+    # ------------------------------------------------------------------
+    # Multi-map recovery (reference: ORB-SLAM3 Atlas)
+    # ------------------------------------------------------------------
+
+    def _find_map_of(self, kfid: int) -> Optional[LocalMap]:
+        for m in self._old_maps:
+            if kfid in m.keyframes:
+                return m
+        return None
+
+    def _start_submap(self) -> None:
+        """Persistent tracking loss: stash the active map and start a fresh
+        one seeded at the last known pose; a later loop-style detection
+        against a stashed map merges them (reference: ORB-SLAM3
+        Atlas::CreateNewMap when relocalization keeps failing)."""
+        self._old_maps.append(self.map)
+        self.map = LocalMap()
+        self._submap_seed = self.tcw.copy()
+        self._mono_init = None
+        self.velocity = np.eye(4)
+        self.lost_frames = 0
+        self.frames_since_kf = 0
+        self.ref_tracked = 0
+
+    def _merge_maps(self, target: LocalMap, node: KeyframeNode,
+                    best_kfid: int, R: np.ndarray, tvec: np.ndarray,
+                    inliers: np.ndarray, ib: np.ndarray,
+                    obj: np.ndarray,
+                    matched_pt_ids: np.ndarray) -> MappingOperation:
+        """Merge the active sub-map into the stashed map containing the
+        verified loop candidate (reference: ORB-SLAM3 LoopClosing::MergeLocal
+        over the Atlas). The sub-map is internally consistent, so ONE
+        similarity (PnP pose + mono depth-ratio scale) aligns every sub-map
+        keyframe and point; the emitted LoopClosingBA op carries the
+        corrected poses + scale so the mapper's gaussians follow."""
+        from photo_slam_tpu.utils.math import rotmat_to_quat_numpy
+
+        sub = self.map
+        s_node = self._loop_scale(node, obj, inliers, ib, R, tvec)
+        s_corr = Sim3(s_node, R, s_node * tvec.ravel())
+        # World-frame sub-map correction: X' = delta(X), scale 1/s_node.
+        delta = s_corr.inverse().compose(Sim3.from_se3(node.tcw))
+
+        n = sub._n
+        live = sub.alive[:n]
+        sub.xyz[:n][live] = delta.apply(sub.xyz[:n][live])
+        for kf in sub.keyframes.values():
+            kf.tcw = Sim3(1.0 / s_node, kf.tcw[:3, :3],
+                          kf.tcw[:3, 3] / s_node).compose(
+                delta.inverse()).to_se3()
+
+        # Move the sub-map's live points + keyframes into the target.
+        ids_old = np.where(live)[0]
+        remap: dict[int, int] = {}
+        if len(ids_old):
+            new_ids = target.add_points(sub.xyz[:n][live],
+                                        sub.desc[:n][live],
+                                        sub.color[:n][live], 0)
+            target.first_kf[new_ids] = sub.first_kf[:n][live]
+            remap = dict(zip(ids_old.tolist(), new_ids.tolist()))
+        sub_ids = sorted(sub.keyframes)
+        for kfid in sub_ids:
+            kf = sub.keyframes[kfid]
+            kf.mp_ids = np.array([remap.get(int(m), -1) for m in kf.mp_ids],
+                                 np.int64)
+            target.add_keyframe(kf)
+        self._old_maps.remove(target)
+        self.map = target
+        self.tcw = target.keyframes[node.kfid].tcw.copy()
+        self.velocity = np.eye(4)
+        self.num_maps_merged += 1
+        self._last_loop_kfid = node.kfid
+
+        # Point fusion across the seam (reference: ORB-SLAM3
+        # LoopClosing::MergeLocal SearchAndFuse): node features verified
+        # against OLD map points adopt them — without these cross-map
+        # observations the junction BA would have no constraint tying the
+        # sub-map's gauge to the old map.
+        inl = inliers.ravel()
+        for old_pt, feat in zip(matched_pt_ids[inl].tolist(),
+                                ib[inl].tolist()):
+            old_pt = int(old_pt)
+            if not target.alive[old_pt]:
+                continue
+            cur = int(node.mp_ids[feat])
+            if cur == old_pt:
+                continue
+            if cur >= 0:
+                # Replace the duplicated sub-map point everywhere.
+                for kfid2, kp2 in list(target.obs[cur].items()):
+                    kf2 = target.keyframes.get(kfid2)
+                    if kf2 is not None and kf2.mp_ids[kp2] == cur:
+                        kf2.mp_ids[kp2] = old_pt
+                        target.add_observation(old_pt, kfid2, kp2)
+                target.alive[cur] = False
+                target.obs[cur] = {}
+            else:
+                node.mp_ids[feat] = old_pt
+                target.add_observation(old_pt, node.kfid, feat)
+
+        # Weld the junction: BA over the loop candidate's neighborhood +
+        # the sub-map, anchored on the old side.
+        old_side = [best_kfid] + [k for k in
+                                  target.covisible_kfs(best_kfid, 15)
+                                  if k not in sub_ids][:3]
+        self._run_ba(old_side + sub_ids, n_fixed=min(2, len(old_side)),
+                     max_iters=15)
+        self.tcw = target.keyframes[node.kfid].tcw.copy()
+
+        kfs = []
+        for kfid in sub_ids:
+            T = target.keyframes[kfid].tcw
+            kfs.append(KeyframeData(
+                kfid=kfid, camera_id=self.camera.camera_id,
+                quat_wxyz=rotmat_to_quat_numpy(T[:3, :3]),
+                trans=T[:3, 3].copy(),
+                is_loop_kf=kfid in (node.kfid, best_kfid),
+                scale=delta.s))
+        return MappingOperation(kind=OprType.LOOP_CLOSING_BA,
+                                keyframes=kfs, scale=delta.s)
+
+    def _maybe_normalize_scale(self) -> Optional[MappingOperation]:
+        """Monocular gauge watchdog: two-view init fixes the map scale to
+        unit median depth (Tracking::MonocularInitialization), but
+        accumulated drift can carry the gauge far from it, degrading the
+        fixed metric thresholds (max_depth cutoffs, BA depth gates). When
+        the live median depth leaves [0.2, 5], renormalize the WHOLE world
+        (a pure gauge change — exact for every point, pose and gaussian)
+        and emit a ScaleRefinement op so the mapper's model follows
+        (consumer: mapper._apply_scale_refinement; the reference pushes the
+        same op after IMU scale estimation,
+        ORB-SLAM3/src/LocalMapping.cc:1300-1305)."""
+        if self._old_maps:
+            # Gaussians from stashed maps live in other frames: a global
+            # rescale would be wrong for them.
+            return None
+        n = self.map._n
+        live = self.map.alive[:n]
+        if live.sum() < 50:
+            return None
+        z = (self.map.xyz[:n][live] @ self.tcw[:3, :3].T
+             + self.tcw[:3, 3])[:, 2]
+        z = z[z > 1e-6]
+        if len(z) < 50:
+            return None
+        med = float(np.median(z))
+        if 0.2 <= med <= 5.0:
+            return None
+        s = 1.0 / med
+        self.map.xyz[:n] *= s
+        for kf in self.map.keyframes.values():
+            kf.tcw[:3, 3] *= s
+        self.tcw[:3, 3] *= s
+        self.velocity[:3, 3] *= s
+        return MappingOperation(kind=OprType.SCALE_REFINEMENT, scale=s,
+                                transform=np.eye(4, dtype=np.float32))
 
     # ------------------------------------------------------------------
     # Relocalization
     # ------------------------------------------------------------------
 
     def _relocalize(self, px, desc) -> bool:
-        """Match against all keyframes, PnP on the best (reference:
-        Tracking::Relocalization)."""
+        """Signature-prefiltered relocalization: rank the active map's
+        keyframes by majority-bit signature Hamming distance (one vectorized
+        pass), then ratio-match only the top candidates — O(candidates), not
+        O(N_kf) full descriptor scans (reference: Tracking::Relocalization
+        likewise asks the DBoW2 inverted index for candidates first)."""
+        if len(desc) == 0:
+            return False
+        q = desc
+        resp = self._last_resp
+        if resp is not None and len(resp) == len(q):
+            q = q[np.argsort(-resp)]
+        qsig = np.packbits(np.unpackbits(q[:300], axis=1).mean(axis=0) >= 0.5)
+        cand_ids = [k for k in self.map.keyframes if k in self._loop_sigs]
+        if not cand_ids:
+            return False
+        sigs = np.stack([self._loop_sigs[k] for k in cand_ids])
+        sig_d = _sig_distances(qsig, sigs)
         best_kfid, best_matches = -1, None
-        for kfid, kf in self.map.keyframes.items():
+        for j in np.argsort(sig_d)[:5]:
+            kfid = cand_ids[int(j)]
+            kf = self.map.keyframes[kfid]
             has = kf.mp_ids >= 0
             if has.sum() < 20:
                 continue
@@ -902,6 +1196,10 @@ class SlamFrontend:
         frame = self._rectify_frame(frame)
         px, desc, resp = self._extract(frame)
         self._last_resp = resp
+        self._frame_grid = None
+        # Latest frame + keypoints for the viewer's SLAM-frame panel
+        # (reference: viewer/imgui_viewer.cpp:341-382 frame view).
+        self.last_frame_vis = (frame.image, px)
         depth_map = self._depth_of(frame) if self.sensor != "mono" else None
 
         # Initialization.
@@ -944,6 +1242,12 @@ class SlamFrontend:
                                                         self.tcw)
             if tcw is None:
                 self._append_traj(frame)
+                # Persistent loss beyond relocalization: start a fresh
+                # sub-map instead of dropping every remaining frame
+                # (reference: ORB-SLAM3 Atlas CreateNewMap on lost).
+                if (self.lost_frames >= self.submap_after_lost
+                        and len(self.map.keyframes) >= 2):
+                    self._start_submap()
                 return []
         self.lost_frames = 0
         self.velocity = tcw @ se3_inverse(self.tcw)
@@ -968,6 +1272,10 @@ class SlamFrontend:
                 self.map.keyframes[self.last_kfid])
             if loop_op is not None:
                 ops.append(loop_op)
+        if self.sensor == "mono":
+            sr = self._maybe_normalize_scale()
+            if sr is not None:
+                ops.append(sr)
         return ops
 
     def _append_traj(self, frame: Frame) -> None:

@@ -74,20 +74,37 @@ def pan_loop():
     return cam, frames, np.array(gt)
 
 
-def _drift_late_keyframes(fe, from_kfid, drift_xi):
-    """Apply a rigid world-frame drift W to keyframes >= from_kfid and the
-    map points they created — a self-consistent distorted submap, exactly
-    what accumulated odometry drift produces. Observations that cross the
+def _drift_late_keyframes(fe, from_kfid, drift_xi, scale=1.0):
+    """Apply a similarity world-frame drift W (rigid + optional uniform
+    scale) to keyframes >= from_kfid and the map points they created — a
+    self-consistent distorted submap, exactly what accumulated (monocular)
+    odometry drift produces: camera coords scale uniformly with the
+    structure, so projections are unchanged. Observations that cross the
     drift boundary are severed (in a genuinely drifted run those matches
     would never have formed: the reprojection would have rejected them)."""
-    W = se3_exp_numpy(drift_xi)
-    W_inv = se3_inverse(W)
+    from photo_slam_tpu.utils.sim3 import Sim3
+
+    T_w = se3_exp_numpy(drift_xi)
+    W = Sim3(scale, T_w[:3, :3], T_w[:3, 3])
+    W_inv_rigid = se3_inverse(T_w)
+
+    def drift_pose(tcw):
+        # SE3 pose consistent with the similarity-drifted points: the Sim3
+        # composition s*T o W^-1 has unit scale ([R Rw^T | s t - R Rw^T tw]).
+        s_t = Sim3(scale, tcw[:3, :3], scale * tcw[:3, 3])
+        d = s_t.compose(W.inverse())
+        out = np.eye(4)
+        out[:3, :3] = d.R
+        out[:3, 3] = d.t
+        return out
+
     n = fe.map._n
     sel = (fe.map.first_kf[:n] >= from_kfid) & fe.map.alive[:n]
-    fe.map.xyz[:n][sel] = fe.map.xyz[:n][sel] @ W[:3, :3].T + W[:3, 3]
+    fe.map.xyz[:n][sel] = W.apply(fe.map.xyz[:n][sel])
     for kfid, kf in fe.map.keyframes.items():
         if kfid >= from_kfid:
-            kf.tcw = kf.tcw @ W_inv
+            kf.tcw = (kf.tcw @ W_inv_rigid if scale == 1.0
+                      else drift_pose(kf.tcw))
             # Sever observations of pre-drift points.
             for kp_idx, mp in enumerate(kf.mp_ids):
                 if mp >= 0 and fe.map.first_kf[mp] < from_kfid:
@@ -100,7 +117,8 @@ def _drift_late_keyframes(fe, from_kfid, drift_xi):
                     fe.map.obs[mp].pop(kfid, None)
                     fe.map.n_obs[mp] = len(fe.map.obs[mp])
                     kf.mp_ids[kp_idx] = -1
-    fe.tcw = fe.tcw @ W_inv
+    fe.tcw = (fe.tcw @ W_inv_rigid if scale == 1.0
+              else drift_pose(fe.tcw))
 
 
 class TestLoopClosing:
@@ -154,6 +172,59 @@ class TestLoopClosing:
         # injected 0.35m translation drift must be mostly gone.
         assert np.abs(xi[:3]).max() < 0.15, (
             f"loop not closed: residual {xi}")
+
+    def test_mono_scale_drift_corrected(self, pan_loop):
+        """Monocular scale drift: the late submap is inflated by 1.1x (a
+        similarity drift — projections self-consistent). The Sim3 essential
+        graph (reference: ORB-SLAM3/src/Optimizer.cc:1762 4DoF/7DoF
+        OptimizeEssentialGraph) must measure the relative scale at loop
+        verification and shrink the drifted submap back: <2% residual scale
+        error, and the LoopClosingBA op carries the per-keyframe scales."""
+        cam, frames, gt = pan_loop
+        fe = SlamFrontend(cam, sensor="rgbd", kf_min_interval=1,
+                          kf_tracked_ratio=2.0, ba_window=4,
+                          enable_loop_closing=True,
+                          loop_min_score=40, loop_min_inliers=20)
+        fe.enable_loop_closing = False
+        for fr in frames[:9]:
+            fe.process_frame(fr)
+        n_out = len(fe.map.keyframes)
+        assert n_out >= 6
+
+        mid = sorted(fe.map.keyframes)[n_out - 2]
+        s_drift = 1.1
+        _drift_late_keyframes(fe, mid,
+                              np.array([0.5, -0.3, 0.4, 0.0, 0.0, 0.08]),
+                              scale=s_drift)
+
+        # The return sweep runs MONOCULAR (no depth): new keyframes
+        # triangulate against the drifted (scale-inflated) submap, so the
+        # loop verification sees genuinely scale-drifted current structure.
+        fe.sensor = "mono"
+        loop_ops = []
+        for fr in frames[9:]:
+            fr.depth = None
+            for op in fe.process_frame(fr):
+                if op.kind == OprType.LOOP_CLOSING_BA:
+                    loop_ops.append(op)
+        assert fe.num_loops_closed >= 1, "loop was not detected"
+        op = loop_ops[0]
+
+        # The loop-closing keyframe's correction must carry the inverse
+        # drift scale (the mapper multiplies its visible points by it):
+        # op.scale = 1/s_k of the current keyframe, ~1/1.1 within 2%.
+        assert abs(op.scale * s_drift - 1.0) < 0.02, (
+            f"scale not recovered: op scale {op.scale} "
+            f"(want ~{1.0 / s_drift:.4f})")
+        assert any(abs(k.scale - 1.0) > 0.02 for k in op.keyframes), (
+            "per-keyframe Sim3 scales missing from the op")
+        # And the loop is geometrically closed (as in the rigid-drift test).
+        first = sorted(fe.map.keyframes)[0]
+        loop_kf = max(k.kfid for k in op.keyframes if k.is_loop_kf)
+        rel = (fe.map.keyframes[loop_kf].tcw
+               @ se3_inverse(fe.map.keyframes[first].tcw))
+        xi = se3_log_numpy(rel)
+        assert np.abs(xi[:3]).max() < 0.15, f"loop not closed: {xi}"
 
     def test_no_false_loop_on_linear_path(self):
         trans = [np.array([0.06 * i, 0.0, 0.0]) for i in range(10)]

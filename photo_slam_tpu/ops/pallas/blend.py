@@ -63,11 +63,14 @@ def _pixel_coords(t, tiles_x):
     return px, py
 
 
-def _fwd_kernel(counts_ref, tiles_x_ref, data_ref, color_ref, t_ref, n_ref):
-    t = pl.program_id(0)
-    count = counts_ref[t]
+def _fwd_kernel(counts_ref, tiles_x_ref, ids_ref, data_ref, color_ref, t_ref,
+                n_ref):
+    g = pl.program_id(0)
+    count = counts_ref[g]
     tiles_x = tiles_x_ref[0]
-    px, py = _pixel_coords(t, tiles_x)
+    # ids_ref maps grid step -> actual tile id: identity for full renders,
+    # the overflowed-tile subset for compact continuation passes.
+    px, py = _pixel_coords(ids_ref[g], tiles_x)
 
     zero = jnp.zeros((PIX_SUB, PIX_LANE), jnp.float32)
     # `alive` is carried as a float mask: Mosaic cannot yield i1 vectors
@@ -128,8 +131,9 @@ def _fwd_kernel(counts_ref, tiles_x_ref, data_ref, color_ref, t_ref, n_ref):
     n_ref[0] = nc
 
 
-def _bwd_kernel(counts_ref, tiles_x_ref, data_ref, final_t_ref, n_ref,
-                g_color_ref, g_t_ref, d_data_ref, p_scr, w_scr, o_scr):
+def _bwd_kernel(counts_ref, tiles_x_ref, ids_ref, data_ref, final_t_ref,
+                n_ref, g_color_ref, g_t_ref, d_data_ref, p_scr, w_scr,
+                o_scr):
     """Back-to-front gradient accumulation
     (reference: cuda_rasterizer/backward.cu:398-557).
 
@@ -150,9 +154,10 @@ def _bwd_kernel(counts_ref, tiles_x_ref, data_ref, final_t_ref, n_ref,
     Gaussian (the CUDA backward's warp reductions + atomicAdd,
     backward.cu:398-557).
     """
-    t = pl.program_id(0)
-    count = counts_ref[t]
+    g = pl.program_id(0)
+    count = counts_ref[g]
     tiles_x = tiles_x_ref[0]
+    t = ids_ref[g]
     px, py = _pixel_coords(t, tiles_x)
     # Tile-local pixel coordinates (0..TILE_PS): the moment basis.
     tx = (t % tiles_x).astype(jnp.float32) * TILE_PS
@@ -283,14 +288,17 @@ def _use_interpret() -> bool:
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def pallas_blend(data_tiles: jnp.ndarray, counts: jnp.ndarray,
-                 tiles_x: int, num_tiles: int):
+                 tiles_x: int, num_tiles: int,
+                 tile_ids: jnp.ndarray | None = None):
     """Blend packed per-tile Gaussian entries.
 
     Args:
       data_tiles: [T, K, 16] float32 packed entries (layout in module doc).
       counts: [T] int32 valid entries per tile (depth-sorted prefixes).
       tiles_x: tiles per image row (static).
-      num_tiles: T (static).
+      num_tiles: T (static) — number of BLOCKS processed; with `tile_ids`
+        given, block i rasterizes image tile tile_ids[i] (the compact
+        overflow-continuation path runs only the overflowed subset).
 
     Returns (color [T, 3, 8, 128], final_T [T, 8, 128],
              n_contrib [T, 8, 128]).
@@ -298,14 +306,20 @@ def pallas_blend(data_tiles: jnp.ndarray, counts: jnp.ndarray,
     routes the background gradient through the final_T cotangent.
     """
     color, final_t, n_contrib = _blend_fwd_call(data_tiles, counts, tiles_x,
-                                                num_tiles)
+                                                num_tiles, tile_ids)
     return color, final_t, n_contrib
 
 
-def _blend_fwd_call(data_tiles, counts, tiles_x, num_tiles):
+def _tile_ids_or_iota(tile_ids, num_tiles):
+    if tile_ids is None:
+        return jnp.arange(num_tiles, dtype=jnp.int32)
+    return tile_ids.astype(jnp.int32)
+
+
+def _blend_fwd_call(data_tiles, counts, tiles_x, num_tiles, tile_ids=None):
     k = data_tiles.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec((1, k, FEAT), lambda t, *_: (t, 0, 0),
@@ -321,9 +335,10 @@ def _blend_fwd_call(data_tiles, counts, tiles_x, num_tiles):
         ],
     )
 
-    def kernel(counts_ref, tiles_x_ref, data_ref, color_ref, t_ref, n_ref):
-        _fwd_kernel(counts_ref, tiles_x_ref, data_ref, color_ref, t_ref,
-                    n_ref)
+    def kernel(counts_ref, tiles_x_ref, ids_ref, data_ref, color_ref, t_ref,
+               n_ref):
+        _fwd_kernel(counts_ref, tiles_x_ref, ids_ref, data_ref, color_ref,
+                    t_ref, n_ref)
 
     return pl.pallas_call(
         kernel,
@@ -335,15 +350,16 @@ def _blend_fwd_call(data_tiles, counts, tiles_x, num_tiles):
             jax.ShapeDtypeStruct((num_tiles, PIX_SUB, PIX_LANE), jnp.int32),
         ],
         interpret=_use_interpret(),
-    )(counts, jnp.full((1,), tiles_x, jnp.int32), data_tiles)
+    )(counts, jnp.full((1,), tiles_x, jnp.int32),
+      _tile_ids_or_iota(tile_ids, num_tiles), data_tiles)
 
 
 def _blend_bwd_call(data_tiles, counts, final_t, n_contrib, g_color, g_t,
-                    tiles_x, num_tiles):
+                    tiles_x, num_tiles, tile_ids=None):
     k = data_tiles.shape[1]
     group = _exit_check()
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec((1, k, FEAT), lambda t, *_: (t, 0, 0),
@@ -368,10 +384,10 @@ def _blend_bwd_call(data_tiles, counts, final_t, n_contrib, g_color, g_t,
         ],
     )
 
-    def kernel(counts_ref, tiles_x_ref, data_ref, ft_ref, n_ref, gc_ref,
-               gt_ref, d_data_ref, p_scr, w_scr, o_scr):
-        _bwd_kernel(counts_ref, tiles_x_ref, data_ref, ft_ref, n_ref,
-                    gc_ref, gt_ref, d_data_ref, p_scr, w_scr, o_scr)
+    def kernel(counts_ref, tiles_x_ref, ids_ref, data_ref, ft_ref, n_ref,
+               gc_ref, gt_ref, d_data_ref, p_scr, w_scr, o_scr):
+        _bwd_kernel(counts_ref, tiles_x_ref, ids_ref, data_ref, ft_ref,
+                    n_ref, gc_ref, gt_ref, d_data_ref, p_scr, w_scr, o_scr)
 
     (d_data,) = pl.pallas_call(
         kernel,
@@ -380,22 +396,23 @@ def _blend_bwd_call(data_tiles, counts, final_t, n_contrib, g_color, g_t,
             jax.ShapeDtypeStruct((num_tiles, k, FEAT), jnp.float32),
         ],
         interpret=_use_interpret(),
-    )(counts, jnp.full((1,), tiles_x, jnp.int32), data_tiles, final_t,
+    )(counts, jnp.full((1,), tiles_x, jnp.int32),
+      _tile_ids_or_iota(tile_ids, num_tiles), data_tiles, final_t,
       n_contrib, g_color, g_t)
     return d_data
 
 
-def _fwd_rule(data_tiles, counts, tiles_x, num_tiles):
+def _fwd_rule(data_tiles, counts, tiles_x, num_tiles, tile_ids=None):
     color, final_t, n_contrib = _blend_fwd_call(data_tiles, counts, tiles_x,
-                                                num_tiles)
+                                                num_tiles, tile_ids)
     return (color, final_t, n_contrib), (data_tiles, counts, final_t,
-                                         n_contrib)
+                                         n_contrib, tile_ids)
 
 
 def _bwd_rule(tiles_x, num_tiles, residuals, cotangents):
     import numpy as np
 
-    data_tiles, counts, final_t, n_contrib = residuals
+    data_tiles, counts, final_t, n_contrib, tile_ids = residuals
     g_color, g_t, _g_n = cotangents
     # Entries past the last contributor of any pixel in the tile have zero
     # gradient — bound the backward traversal by the tile's max n_contrib
@@ -404,9 +421,14 @@ def _bwd_rule(tiles_x, num_tiles, residuals, cotangents):
     nc_max = jnp.max(n_contrib.reshape(num_tiles, -1), axis=-1)
     counts_eff = jnp.minimum(counts, nc_max).astype(jnp.int32)
     d_data = _blend_bwd_call(data_tiles, counts_eff, final_t, n_contrib,
-                             g_color, g_t, tiles_x, num_tiles)
-    # counts is integer-typed: its cotangent is the symbolic float0 zero.
-    return d_data, np.zeros(counts.shape, dtype=jax.dtypes.float0)
+                             g_color, g_t, tiles_x, num_tiles, tile_ids)
+    # counts/tile_ids are integer-typed: float0 cotangents.
+    out = [d_data, np.zeros(counts.shape, dtype=jax.dtypes.float0)]
+    if tile_ids is not None:
+        out.append(np.zeros(tile_ids.shape, dtype=jax.dtypes.float0))
+    else:
+        out.append(None)
+    return tuple(out)
 
 
 pallas_blend.defvjp(_fwd_rule, _bwd_rule)

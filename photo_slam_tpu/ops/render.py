@@ -56,6 +56,10 @@ class RenderSettings(NamedTuple):
     # C += T_prev * C_pass, T *= T_pass.
     overflow_passes: int = 1
     overflow_capacity: int = 512
+    # Continuation passes run only over this many deepest tiles (overflow
+    # concentrates; a full-T second pass wastes most of its work). 0 = every
+    # tile gets a continuation window (the exhaustive path).
+    overflow_compact: int = 128
 
 
 class RenderResult(NamedTuple):
@@ -124,13 +128,23 @@ def render(
             max_per_tile=settings.max_per_tile,
             overflow_passes=settings.overflow_passes,
             overflow_capacity=settings.overflow_capacity,
+            overflow_compact=settings.overflow_compact,
         )
         clipped, overflow = binning.num_clipped, binning.num_overflow
         if settings.overflow_passes > 1:
-            covered = settings.max_per_tile + (
-                settings.overflow_passes - 1) * settings.overflow_capacity
-            overflow = jnp.sum(
-                jnp.maximum(binning.raw_counts - covered, 0))
+            extra = (settings.overflow_passes - 1) * settings.overflow_capacity
+            t_sub = settings.overflow_compact
+            rc = binning.raw_counts
+            if 0 < t_sub < rc.shape[0]:
+                # Compact continuation covers only the t_sub deepest tiles.
+                rc_desc = -jnp.sort(-rc)
+                overflow = jnp.sum(jnp.maximum(
+                    rc_desc[:t_sub] - (settings.max_per_tile + extra), 0)
+                ) + jnp.sum(jnp.maximum(
+                    rc_desc[t_sub:] - settings.max_per_tile, 0))
+            else:
+                overflow = jnp.sum(jnp.maximum(
+                    rc - (settings.max_per_tile + extra), 0))
     else:
         out, binning = tiled_mod.render_tiled(
             prep,

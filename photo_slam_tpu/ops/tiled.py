@@ -105,13 +105,84 @@ def _entry_gather_bwd(k_dup, slot_offset, residuals, g):
     rows = jnp.take(g_flat.astype(jnp.bfloat16), jnp.where(ok, ptr, 0),
                     axis=0)  # [n*k_dup, d]
     rows = jnp.where(ok[:, None], rows, jnp.bfloat16(0))
-    d_feat = rows.reshape(n, k_dup, d).sum(axis=1, dtype=jnp.float32)
+    # k_dup reduction on the MXU: [n, k_dup*d] x stacked identities. The
+    # axis-1 sum of a [n, k_dup, d] view lowers to slow VPU shuffles
+    # (measured 7.5 ms at 1.8M rows); the matmul is 2.1 ms and accumulates
+    # in f32.
+    sel = jnp.tile(jnp.eye(d, dtype=jnp.bfloat16), (k_dup, 1))
+    d_feat = jax.lax.dot_general(
+        rows.reshape(n, k_dup * d), sel, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
     f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
     return (d_feat, f0(jnp.zeros(lists_shape, jnp.int32)),
             f0(sorted_entries), f0(sorted_tiles), f0(starts), f0(tile_counts))
 
 
 entry_gather.defvjp(_entry_gather_fwd, _entry_gather_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def entry_gather_windows(feat, entry_lists, window_starts, counts,
+                         sorted_entries, k_dup: int):
+    """entry_gather for R arbitrary stream windows — the compact overflow
+    continuation gathers ONLY the overflowed tiles' windows instead of a
+    full [T, K] table. entry_lists [R, K] (-1 invalid), window_starts [R]
+    stream position of each window's first entry, counts [R] valid lengths
+    (windows are disjoint: each lies inside its tile's stream segment)."""
+    idx = jnp.where(entry_lists >= 0, entry_lists // k_dup, 0)
+    return feat[idx]
+
+
+def _egw_fwd(feat, entry_lists, window_starts, counts, sorted_entries,
+             k_dup):
+    out = entry_gather_windows(feat, entry_lists, window_starts, counts,
+                               sorted_entries, k_dup)
+    return out, (feat.shape, entry_lists.shape, window_starts, counts,
+                 sorted_entries)
+
+
+def _egw_bwd(k_dup, residuals, g):
+    """Transpose via the same scatter-free route as entry_gather: build the
+    stream-position -> gradient-row map for the R windows with a TINY
+    boundary scatter (2R deltas) + cumsum, then one sort routes rows to
+    entry order."""
+    import numpy as np
+
+    (feat_shape, lists_shape, window_starts, counts,
+     sorted_entries) = residuals
+    n, d = feat_shape
+    r_blocks, k_max = lists_shape
+    e_total = sorted_entries.shape[0]
+    g_flat = g.reshape(-1, d)
+
+    ws = jnp.minimum(window_starts.astype(jnp.int32), e_total)
+    we = jnp.minimum(ws + counts.astype(jnp.int32), e_total)
+    c_val = jnp.arange(r_blocks, dtype=jnp.int32) * k_max - ws
+    base = jnp.zeros(e_total + 1, jnp.int32).at[ws].add(c_val, mode="drop")
+    base = base.at[we].add(-c_val, mode="drop")
+    ind = jnp.zeros(e_total + 1, jnp.int32).at[ws].add(1, mode="drop")
+    ind = ind.at[we].add(-1, mode="drop")
+    base = jnp.cumsum(base)[:e_total]
+    ind = jnp.cumsum(ind)[:e_total]
+    iota = jnp.arange(e_total, dtype=jnp.int32)
+    ridx = jnp.where(ind > 0, iota + base, jnp.int32(-1))
+
+    _, ptr = jax.lax.sort((sorted_entries, ridx), num_keys=1,
+                          is_stable=False)
+    ok = ptr >= 0
+    rows = jnp.take(g_flat.astype(jnp.bfloat16), jnp.where(ok, ptr, 0),
+                    axis=0)
+    rows = jnp.where(ok[:, None], rows, jnp.bfloat16(0))
+    sel = jnp.tile(jnp.eye(d, dtype=jnp.bfloat16), (k_dup, 1))
+    d_feat = jax.lax.dot_general(
+        rows.reshape(n, k_dup * d), sel, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    f0 = lambda shape: np.zeros(shape, dtype=jax.dtypes.float0)
+    return (d_feat, f0(lists_shape), f0(window_starts.shape),
+            f0(counts.shape), f0(sorted_entries.shape))
+
+
+entry_gather_windows.defvjp(_egw_fwd, _egw_bwd)
 
 
 def _blend_tile_chunk(xy, conic, opacity, rgb, valid, pix_x, pix_y):
@@ -225,6 +296,7 @@ def render_pallas(
     max_per_tile: int = 1024,
     overflow_passes: int = 1,
     overflow_capacity: int = 512,
+    overflow_compact: int = 128,
 ) -> tuple[RenderOutput, TileBinning]:
     """Pallas-kernel blend path: bin at 32px tiles, pack entries, run the
     fused per-tile kernel (ops/pallas/blend.py), assemble the image.
@@ -285,19 +357,58 @@ def render_pallas(
     color, final_t, n_contrib = pallas_blend(
         data_tiles, binning.tile_counts, gx, num_tiles)
 
-    # Overflow continuation passes (exact, see docstring).
+    # Overflow continuation passes (exact, see docstring). The COMPACT path
+    # (overflow_compact > 0) runs each continuation only over the
+    # `overflow_compact` deepest tiles — overflow concentrates in a few
+    # tiles, so a full [T, K] second pass wastes ~85% of its gather/blend on
+    # empty windows. Tiles beyond the subset keep 1-pass results (the
+    # residual is counted in num_overflow).
     from photo_slam_tpu.ops.binning import window_lists
+    t_sub = min(overflow_compact, num_tiles) if overflow_compact else 0
+    order = (jnp.argsort(-binning.raw_counts).astype(jnp.int32)[:t_sub]
+             if 0 < t_sub < num_tiles else None)
     for p in range(1, overflow_passes):
         offset = max_per_tile + (p - 1) * overflow_capacity
-        lists_p, counts_p = window_lists(binning, offset, overflow_capacity)
-        data_p = entry_gather(feat, lists_p, binning.sorted_entries,
-                              binning.sorted_tiles, binning.starts,
-                              counts_p, max_tiles_per_gaussian,
-                              slot_offset=offset)
-        c_p, t_p, n_p = pallas_blend(data_p, counts_p, gx, num_tiles)
-        color = color + final_t[:, None] * c_p
-        n_contrib = n_contrib + n_p
-        final_t = final_t * t_p
+        if order is not None:
+            starts_sub = binning.starts[order] + offset
+            counts_sub = jnp.clip(binning.raw_counts[order] - offset, 0,
+                                  overflow_capacity)
+            from photo_slam_tpu.ops.binning import (_on_tpu,
+                                                    _window_gather_pallas,
+                                                    _window_gather_xla)
+            window = (_window_gather_pallas if _on_tpu()
+                      else _window_gather_xla)(
+                binning.sorted_entries, starts_sub, overflow_capacity)
+            in_range = (jnp.arange(overflow_capacity, dtype=jnp.int32)[None]
+                        < counts_sub[:, None])
+            lists_p = jnp.where(in_range, window, -1)
+            data_p = entry_gather_windows(feat, lists_p, starts_sub,
+                                          counts_sub, binning.sorted_entries,
+                                          max_tiles_per_gaussian)
+            c_p, t_p, n_p = pallas_blend(data_p, counts_sub, gx, t_sub,
+                                         order)
+            onehot = (jnp.arange(num_tiles, dtype=jnp.int32)[:, None]
+                      == order[None, :]).astype(jnp.float32)
+
+            def expand(x):
+                flat = x.reshape(t_sub, -1)
+                return (onehot @ flat).reshape((num_tiles,) + x.shape[1:])
+
+            color = color + final_t[:, None] * expand(c_p)
+            n_contrib = n_contrib + expand(
+                n_p.astype(jnp.float32)).astype(jnp.int32)
+            final_t = final_t * (expand(t_p - 1.0) + 1.0)
+        else:
+            lists_p, counts_p = window_lists(binning, offset,
+                                            overflow_capacity)
+            data_p = entry_gather(feat, lists_p, binning.sorted_entries,
+                                  binning.sorted_tiles, binning.starts,
+                                  counts_p, max_tiles_per_gaussian,
+                                  slot_offset=offset)
+            c_p, t_p, n_p = pallas_blend(data_p, counts_p, gx, num_tiles)
+            color = color + final_t[:, None] * c_p
+            n_contrib = n_contrib + n_p
+            final_t = final_t * t_p
 
     # [T, 3, 8, 128] -> image. Pixel p = r*32 + c, flattened as 8x128.
     def tiles_to_image(x):

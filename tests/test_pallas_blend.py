@@ -175,6 +175,89 @@ class TestOverflowContinuation:
         assert np.abs(np.asarray(starved.image)
                       - np.asarray(full.image)).max() > 1e-3
 
+    def test_compact_continuation_matches_full(self):
+        """The compact path (continuation over only the deepest
+        `overflow_compact` tiles) must match the exhaustive all-tiles
+        continuation exactly when the subset covers every overflowed tile —
+        forward AND gradients (entry_gather_windows transpose)."""
+        rng = np.random.RandomState(5)
+        n = 500
+        # Concentrate the scene in the top-left 32px tile so overflow hits
+        # exactly one of the 4 tiles.
+        means = np.stack([rng.uniform(-1.8, -0.4, n),
+                          rng.uniform(-1.8, -0.4, n),
+                          rng.uniform(3, 8, n)], 1).astype(np.float32)
+        scales = rng.uniform(0.05, 0.2, (n, 3)).astype(np.float32)
+        quats = rng.randn(n, 4).astype(np.float32)
+        quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+        opac = jnp.asarray(rng.uniform(0.3, 0.95, n).astype(np.float32))
+        colors = jnp.asarray(rng.uniform(0.05, 0.95, (n, 3))
+                             .astype(np.float32))
+        c = cam()
+        bg = jnp.array([0.2, 0.1, 0.3])
+        s_full = self._settings(128, passes=2, cap=384)._replace(
+            overflow_compact=0)
+        s_comp = s_full._replace(overflow_compact=2)
+
+        def run(s, o):
+            return render(jnp.asarray(means), jnp.asarray(scales),
+                          jnp.asarray(quats), o, c, s, bg,
+                          colors_precomp=colors)
+
+        starved = run(self._settings(128), opac)
+        assert int(starved.num_overflow) > 0
+        full = run(s_full, opac)
+        comp = run(s_comp, opac)
+        assert int(comp.num_overflow) == int(full.num_overflow) == 0
+        np.testing.assert_allclose(np.asarray(comp.image),
+                                   np.asarray(full.image), atol=1e-6)
+
+        gt = jnp.asarray(rng.rand(3, H, W).astype(np.float32))
+
+        def loss(o, s):
+            return jnp.mean((run(s, o).image - gt) ** 2)
+
+        g_full = jax.grad(loss)(opac, s_full)
+        g_comp = jax.grad(loss)(opac, s_comp)
+        scale = np.abs(np.asarray(g_full)).max() + 1e-8
+        np.testing.assert_allclose(np.asarray(g_comp) / scale,
+                                   np.asarray(g_full) / scale, atol=3e-3)
+
+    def test_production_config_psnr_floor(self):
+        """Regression floor for the production render config (miniature
+        analog of bench.py's psnr_2pass_vs_exact_db): with per-tile depth
+        far beyond 2-pass coverage, the truncated tail must still sit under
+        the T<1e-4 early-exit — >= 45 dB vs the exact render. Pins the
+        headline config's quality so capacity changes can't silently
+        degrade it."""
+        rng = np.random.RandomState(9)
+        n = 1500
+        means = np.stack([rng.uniform(-1.8, -0.3, n),
+                          rng.uniform(-1.8, -0.3, n),
+                          rng.uniform(3, 8, n)], 1).astype(np.float32)
+        scales = rng.uniform(0.05, 0.2, (n, 3)).astype(np.float32)
+        quats = rng.randn(n, 4).astype(np.float32)
+        quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+        opac = jnp.asarray(rng.uniform(0.3, 0.95, n).astype(np.float32))
+        colors = jnp.asarray(rng.uniform(0.05, 0.95, (n, 3))
+                             .astype(np.float32))
+        c = cam()
+        bg = jnp.array([0.2, 0.1, 0.3])
+
+        def run(s):
+            return render(jnp.asarray(means), jnp.asarray(scales),
+                          jnp.asarray(quats), opac, c, s, bg,
+                          colors_precomp=colors)
+
+        exact = run(self._settings(2048))
+        assert int(exact.num_overflow) == 0
+        two = run(self._settings(64, passes=2, cap=32)._replace(
+            overflow_compact=2))
+        assert int(two.num_overflow) > 0, "floor test needs residual overflow"
+        mse = float(jnp.mean((two.image - exact.image) ** 2))
+        psnr = 10.0 * np.log10(1.0 / max(mse, 1e-12))
+        assert psnr >= 45.0, f"production-config PSNR floor broken: {psnr}"
+
     def test_two_pass_gradients_match_big_capacity(self):
         means, scales, quats, opac, colors = make_scene(n=600, seed=3)
         c = cam()

@@ -38,6 +38,63 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def pink_texture(size, seed):
+    """1/f ("pink") noise texture — the spatial power spectrum of natural
+    photographs, so splat colors sampled from it carry photographic
+    statistics (edges, smooth gradients, multi-scale structure) instead of
+    the white-noise colors a uniform rand() gives."""
+    r = np.random.RandomState(seed)
+    f = np.fft.fftfreq(size)
+    fx, fy = np.meshgrid(f, f)
+    amp = 1.0 / np.maximum(np.sqrt(fx * fx + fy * fy), 1.0 / size) ** 1.1
+    spec = amp * np.exp(2j * np.pi * r.rand(size, size))
+    t = np.real(np.fft.ifft2(spec))
+    return (t - t.min()) / (np.ptp(t) + 1e-9)
+
+
+def photo_atlas(size=1024):
+    """Texture atlas with photographic statistics: a real photograph
+    (matplotlib's bundled grace_hopper.jpg) pasted over correlated pink-noise
+    channels. Real datasets being unreachable (no egress), this is the
+    least-circular texture source available on the machine."""
+    base = np.stack([pink_texture(size, 11), pink_texture(size, 12),
+                     pink_texture(size, 13)], -1)
+    base = 0.15 + 0.7 * (0.6 * base + 0.4 * base.mean(-1, keepdims=True))
+    try:
+        from matplotlib import cbook
+        from PIL import Image
+        ph = np.asarray(Image.open(cbook.get_sample_data(
+            "grace_hopper.jpg", asfileobj=False))).astype(np.float32) / 255.0
+        h, w = ph.shape[:2]
+        base[:h, :w, :] = ph[:size, :size]
+        base[h:, :w, :] = ph[: size - h, :size][::-1]
+    except Exception:
+        pass
+    return base.astype(np.float32)
+
+
+def photo_colors(pts, atlas):
+    """Sample splat colors from the atlas by a surface chart: ~4 mm/texel at
+    room scale, so neighboring splats (4 cm spacing) see coherent image
+    structure."""
+    size = atlas.shape[0]
+    u = ((pts[:, 0] * 0.27 + pts[:, 2] * 0.113) % 1.0) * (size - 1)
+    v = ((pts[:, 1] * 0.31 + pts[:, 2] * 0.071) % 1.0) * (size - 1)
+    return atlas[v.astype(np.int64), u.astype(np.int64)]
+
+
+def corrupt_frame(img_chw, i, rng):
+    """Sensor model for the training frames: slow exposure drift, Gaussian
+    shot noise, and motion blur on every third frame — the degradations a
+    real handheld RGB-D capture has and a self-rendered GT image does not."""
+    out = img_chw * (1.0 + 0.08 * np.sin(0.9 * i))
+    if i % 3 == 0:
+        out = 0.25 * np.roll(out, 1, axis=2) + 0.5 * out + \
+            0.25 * np.roll(out, -1, axis=2)
+    out = out + rng.randn(*out.shape).astype(np.float32) * 0.015
+    return np.clip(out, 0.0, 1.0).astype(np.float32)
+
+
 def room_scene(n, rng):
     """Room-scale SURFACE cloud (like a converged Replica map): walls/floor/
     ceiling of an 8x3x12 m room plus two spheres; surfaces give realistic
@@ -198,9 +255,70 @@ def main():
     log(f"[bench] train_step: {tps:.2f} iters/s "
         f"({1000 / tps:.1f} ms/iter) N={n}")
 
-    # ---- Quality north star: train a fresh model against GT-splat renders,
-    # score a held-out view. Same settings -> no new compiles.
-    gt_state = gm.create_from_pcd(pts, cols, sh_degree=3, capacity=cap)
+    # ---- Stage breakdown: attribute the train step (fwd / bwd / binning /
+    # adam) so throughput regressions are actionable (VERDICT r2 item 2).
+    from photo_slam_tpu.models.densify import densify_and_prune  # noqa: F401
+    from photo_slam_tpu.ops.binning import bin_gaussians
+    from photo_slam_tpu.ops.losses import l1_loss, ssim
+    from photo_slam_tpu.ops.preprocess import preprocess, tight_extents
+
+    def timeit(fn, *args, reps=30):
+        out = fn(*args)
+        jax.block_until_ready(out)
+        t1 = time.time()
+        for _ in range(reps):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        return (time.time() - t1) / reps * 1000.0
+
+    live0 = state.live
+
+    def loss_of(p):
+        sc, qu, op = gm.activated(p)
+        res = render(p.xyz, sc, qu, op, cam, settings, bg,
+                     shs=gm.sh_features(p), live_mask=live0)
+        return (0.8 * l1_loss(res.image, gt)
+                + 0.2 * (1.0 - ssim(res.image, gt)))
+
+    prep_fn = jax.jit(lambda p: preprocess(
+        p.xyz, gm.activated(p)[0], gm.activated(p)[1], cam.viewmatrix,
+        cam.full_proj, cam.cam_center, width, height, settings.tan_fovx,
+        settings.tan_fovy, sh_degree=3, shs=gm.sh_features(p),
+        live_mask=live0))
+    prep0 = prep_fn(state.params)
+    bin_fn = jax.jit(lambda pr, op_: bin_gaussians(
+        pr.means2d, pr.depths, pr.radii, pr.visible, width, height,
+        tile=32, max_tiles_per_gaussian=settings.max_tiles_per_gaussian,
+        max_per_tile=settings.max_per_tile,
+        extents=tight_extents(pr.conics, op_, pr.radii)))
+    grad_fn = jax.jit(jax.value_and_grad(loss_of))
+    adam_fn = jax.jit(lambda p, g, o: optim.adam_step(p, g, o, lrs, live0))
+    _, grads0 = grad_fn(state.params)
+    ms_fwd = 1000.0 * dt / iters
+    ms_bin = timeit(bin_fn, prep0, gm.activated(state.params)[2])
+    ms_grad = timeit(grad_fn, state.params, reps=10)
+    ms_adam = timeit(adam_fn, state.params, grads0, opt_state)
+    stage_ms = {
+        "fwd": round(ms_fwd, 2),
+        "bwd": round(max(ms_grad - ms_fwd, 0.0), 2),  # loss fwd+bwd - fwd
+        "binning": round(ms_bin, 2),                  # (included in fwd)
+        "adam": round(ms_adam, 2),
+    }
+    log(f"[bench] stage_ms: {stage_ms} (loss fwd+bwd {ms_grad:.1f} ms)")
+
+    # ---- Quality north star, hardened (VERDICT r2 item 1): the GT world is
+    # textured with photographic-statistics images (real photo + 1/f noise),
+    # the TRAINING frames carry a sensor model (exposure drift, shot noise,
+    # motion blur), the run goes the reference protocol length (30k iters,
+    # cfg/.../replica_rgbd.yaml:55-73) WITH densification in the loop, and
+    # the score is held-out views against the CLEAN renders. Real datasets
+    # are unreachable from this machine (no egress), so this is the least
+    # self-graded protocol available: the model never sees its own targets
+    # uncorrupted, and the texture statistics are not its own.
+    import os
+    atlas = photo_atlas()
+    gt_cols = photo_colors(pts, atlas)
+    gt_state = gm.create_from_pcd(pts, gt_cols, sh_degree=3, capacity=cap)
     from photo_slam_tpu.utils.math import inverse_sigmoid
     gt_state = gt_state._replace(params=gt_state.params._replace(
         opacity_logit=jnp.full_like(gt_state.params.opacity_logit,
@@ -212,10 +330,11 @@ def main():
         return build_camera_matrices(R, np.array([tx, ty, tz]), 0.01, 100.0,
                                      fovx, fovx * height / width)
 
-    views = [make_cam(0.12 * (i - 5), 0.25 * (i % 3 - 1),
-                      0.12 * (i % 2), 0.4 * (i % 4 == 0))
-             for i in range(12)]
-    test_cam = make_cam(0.05, -0.15, 0.06, 0.2)
+    view_params = [(0.09 * (i - 11), 0.22 * (i % 5 - 2), 0.1 * (i % 3 - 1),
+                    0.35 * (i % 4)) for i in range(24)]
+    views = [make_cam(*vp) for vp in view_params]
+    test_cams = [make_cam(0.05, -0.15, 0.06, 0.2),
+                 make_cam(-0.35, 0.3, -0.05, 0.7)]
 
     @jax.jit
     def _render_cam(p, l, cam_i):
@@ -226,10 +345,14 @@ def main():
     def render_with(st, cam_i):
         return _render_cam(st.params, st.live, cam_i)
 
-    gt_views = [jnp.asarray(render_with(gt_state, c)) for c in views]
-    gt_test = jnp.asarray(render_with(gt_state, test_cam))
+    crng = np.random.RandomState(7)
+    gt_views = [jnp.asarray(corrupt_frame(np.asarray(render_with(
+        gt_state, c)), i, crng)) for i, c in enumerate(views)]
+    gt_tests = [jnp.asarray(render_with(gt_state, c)) for c in test_cams]
 
-    # Fresh model: subsampled noisy geometry, gray colors.
+    # Fresh model: subsampled noisy geometry, gray colors; densification
+    # fills in the rest (headroom cap - m_sub slots at fixed capacity, so
+    # the compiled step programs are reused).
     m_sub = 150_000
     sel = rng.choice(n, m_sub, replace=False)
     init_pts = pts[sel] + rng.randn(m_sub, 3).astype(np.float32) * 0.01
@@ -237,26 +360,70 @@ def main():
     tr_state = gm.create_from_pcd(init_pts, init_cols, sh_degree=3,
                                   capacity=cap)
     tr_opt = optim.init_adam(tr_state.params)
-    quality_iters = 1200
+    from photo_slam_tpu.mapper.trainer import (densify_step,
+                                               opacity_reset_step)
+    centers = np.stack([np.asarray(c.cam_center) for c in views])
+    extent = 1.1 * float(np.max(np.linalg.norm(
+        centers - centers.mean(0), axis=1)))
+    protocol_iters = int(os.environ.get("BENCH_QUALITY_ITERS", "30000"))
+    budget_s = float(os.environ.get("BENCH_QUALITY_BUDGET_S", "1500"))
+    key = jax.random.PRNGKey(0)
     t0 = time.time()
-    for i in range(quality_iters):
-        v = i % len(views)
+    i = 0
+    for i in range(1, protocol_iters + 1):
+        v = (i - 1) % len(views)
+        # Reference protocol schedules (replica_rgbd.yaml): expon position
+        # LR, densify every 100 in (500, 15000], opacity reset every 3000.
+        lrs_i = lrs._replace(xyz=optim.expon_lr(
+            i, 1.6e-4, 1.6e-6, max_steps=protocol_iters))
         tr_state, tr_opt, m = train_step(tr_state, tr_opt, views[v],
-                                         gt_views[v], mask, lrs, bg, lam,
+                                         gt_views[v], mask, lrs_i, bg, lam,
                                          settings)
+        if 500 < i <= 15000 and i % 100 == 0:
+            key, sub = jax.random.split(key)
+            tr_state, tr_opt, _info = densify_step(
+                tr_state, tr_opt, sub, jnp.float32(max(extent, 1.0)),
+                grad_threshold=2e-4, min_opacity=0.005,
+                max_screen_size=(20 if i > 3000 else 0), percent_dense=0.01)
+        if i % 3000 == 0 and i + 1500 < protocol_iters:
+            tr_state, tr_opt = opacity_reset_step(tr_state, tr_opt)
+        if i % 2000 == 0:
+            jax.block_until_ready(m["loss"])
+            log(f"[bench] quality iter {i}: loss {float(m['loss']):.4f} "
+                f"live {int(gm.num_live(tr_state))} "
+                f"({time.time() - t0:.0f}s)")
+            if time.time() - t0 > budget_s:
+                log("[bench] quality budget reached, stopping early")
+                break
     jax.block_until_ready(m["loss"])
-    test_img = render_with(tr_state, test_cam)
-    mapping_psnr = float(psnr_fn(test_img, gt_test))
-    log(f"[bench] quality: {quality_iters} iters in {time.time()-t0:.1f}s, "
-        f"held-out view PSNR {mapping_psnr:.2f} dB")
+    quality_wall = time.time() - t0
+    psnrs = [float(psnr_fn(render_with(tr_state, c), gt))
+             for c, gt in zip(test_cams, gt_tests)]
+    ssims = [float(ssim(render_with(tr_state, c), gt))
+             for c, gt in zip(test_cams, gt_tests)]
+    mapping_psnr = float(np.mean(psnrs))
+    mapping_ssim = float(np.mean(ssims))
+    log(f"[bench] quality: {i} iters in {quality_wall:.1f}s, held-out "
+        f"PSNR {mapping_psnr:.2f} dB SSIM {mapping_ssim:.4f} "
+        f"live {int(gm.num_live(tr_state))}")
+
+    # Headline: the EXACT (or >=45 dB vs exact) render path (VERDICT r2
+    # item 4) — the 2-pass compact overflow continuation when the 1-pass
+    # config overflows, else the 1-pass render itself.
+    if psnr_2pass is not None and psnr_2pass >= 45.0:
+        headline, head_fps = "render_fps_1200x680_300k_exact", fps_2pass
+    else:
+        headline, head_fps = "render_fps_1200x680_300k", fps
 
     print(json.dumps({
-        "metric": "render_fps_1200x680_300k",
-        "value": round(fps, 2),
+        "metric": headline,
+        "value": round(head_fps, 2),
         "unit": "fps",
-        "vs_baseline": round(fps / 30.0, 3),
+        "vs_baseline": round(head_fps / 30.0, 3),
         "extra": {
+            "fps_1pass": round(fps, 2),
             "train_iters_per_sec": round(tps, 2),
+            "stage_ms": stage_ms,
             "binning_clipped": clipped,
             "binning_overflow": overflow,
             "psnr_vs_exact_db": (None if psnr_vs_exact is None
@@ -266,6 +433,10 @@ def main():
             "psnr_2pass_vs_exact_db": (None if psnr_2pass is None
                                        else round(psnr_2pass, 2)),
             "mapping_psnr_db": round(mapping_psnr, 2),
+            "mapping_ssim": round(mapping_ssim, 4),
+            "quality_iters": i,
+            "quality_protocol_iters": protocol_iters,
+            "quality_gaussians": int(gm.num_live(tr_state)),
         },
     }))
 

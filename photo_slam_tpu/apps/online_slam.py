@@ -61,7 +61,8 @@ def _make_tracker(frontend: str, dataset, sensor: SensorType,
 def run_online(dataset, sensor: SensorType, cfg: Config, out_dir,
                keyframe_every: int = 10, num_keypoints: int = 800,
                max_iterations=None, threaded: bool = True,
-               frontend: str = "slam") -> GaussianMapper:
+               frontend: str = "slam", viewer: bool = False,
+               viewer_port: int = 8090, batch: int = 1) -> GaussianMapper:
     """Drive a sequence through tracker + mapper (reference:
     examples/replica_rgbd.cpp main). `frontend` selects the tracking stack:
     "slam" (full feature frontend: local map + local BA + loop closing),
@@ -72,6 +73,14 @@ def run_online(dataset, sensor: SensorType, cfg: Config, out_dir,
     mapper.add_camera(dataset.camera)
     tracker = _make_tracker(frontend, dataset, sensor, keyframe_every,
                             num_keypoints)
+
+    server = None
+    if viewer:
+        from photo_slam_tpu.viewer.server import ViewerServer
+        server = ViewerServer(mapper, port=viewer_port)
+        server.frontend = tracker
+        server.start()
+        print(f"[online_slam] viewer at http://127.0.0.1:{server.port}/")
 
     # Stream frames through the tracker while recording GT for ATE.
     gt_poses: list = []
@@ -104,7 +113,7 @@ def run_online(dataset, sensor: SensorType, cfg: Config, out_dir,
         th.start()
         mapper.run(is_tracker_done=lambda: tracker.done,
                    live_kf_ids=lambda: tracker.live_kf_ids,
-                   max_iterations=max_iterations)
+                   max_iterations=max_iterations, batch=batch)
         th.join()
         if tracker_error:
             raise tracker_error[0]
@@ -112,8 +121,10 @@ def run_online(dataset, sensor: SensorType, cfg: Config, out_dir,
         tracker.run(frames_with_gt(), mapper.queue.push)
         mapper.run(is_tracker_done=lambda: True,
                    live_kf_ids=lambda: tracker.live_kf_ids,
-                   max_iterations=max_iterations)
+                   max_iterations=max_iterations, batch=batch)
     wall = time.time() - t0
+    if server is not None:
+        server.stop()
 
     # Trajectory outputs: the reference's 5-file set + ATE RMSE when the
     # tracker estimated poses and GT is available.
@@ -197,6 +208,14 @@ def _common_parser():
                     default="slam",
                     help="tracking stack: full feature SLAM (default), "
                          "plain ORB+PnP odometry, or ground-truth poses")
+    ap.add_argument("--viewer", action="store_true",
+                    help="serve the live web viewer during the run "
+                         "(reference examples launch their viewer thread, "
+                         "examples/replica_rgbd.cpp:120)")
+    ap.add_argument("--viewer-port", type=int, default=8090)
+    ap.add_argument("--batch", type=int, default=1,
+                    help="multi-view batched training: B keyframes per "
+                         "optimization step (shards over a device mesh)")
     return ap
 
 
@@ -207,7 +226,9 @@ def replica_rgbd(argv=None):
     ds = ReplicaDataset(args.data)
     return run_online(ds, SensorType.RGBD, cfg, args.out,
                       keyframe_every=args.keyframe_every,
-                      max_iterations=args.iters, frontend=args.frontend)
+                      max_iterations=args.iters, frontend=args.frontend,
+                      viewer=args.viewer, viewer_port=args.viewer_port,
+                      batch=args.batch)
 
 
 def replica_mono(argv=None):
@@ -221,7 +242,9 @@ def replica_mono(argv=None):
     # monocular densification path.
     return run_online(ds, SensorType.MONOCULAR, cfg, args.out,
                       keyframe_every=args.keyframe_every,
-                      max_iterations=args.iters, frontend=args.frontend)
+                      max_iterations=args.iters, frontend=args.frontend,
+                      viewer=args.viewer, viewer_port=args.viewer_port,
+                      batch=args.batch)
 
 
 def tum_rgbd(argv=None):
@@ -242,7 +265,9 @@ def tum_rgbd(argv=None):
     ds = TumDataset(args.data, cam)
     return run_online(ds, SensorType.RGBD, cfg, args.out,
                       keyframe_every=args.keyframe_every,
-                      max_iterations=args.iters, frontend=args.frontend)
+                      max_iterations=args.iters, frontend=args.frontend,
+                      viewer=args.viewer, viewer_port=args.viewer_port,
+                      batch=args.batch)
 
 
 def tum_mono(argv=None):
@@ -265,7 +290,9 @@ def tum_mono(argv=None):
     ds = TumDataset(args.data, cam, with_depth=(args.frontend == "gt"))
     return run_online(ds, SensorType.MONOCULAR, cfg, args.out,
                       keyframe_every=args.keyframe_every,
-                      max_iterations=args.iters, frontend=args.frontend)
+                      max_iterations=args.iters, frontend=args.frontend,
+                      viewer=args.viewer, viewer_port=args.viewer_port,
+                      batch=args.batch)
 
 
 def euroc_stereo(argv=None):
@@ -283,7 +310,9 @@ def euroc_stereo(argv=None):
     ds = EurocDataset(args.data, cam)
     return run_online(ds, SensorType.STEREO, cfg, args.out,
                       keyframe_every=args.keyframe_every,
-                      max_iterations=args.iters, frontend=args.frontend)
+                      max_iterations=args.iters, frontend=args.frontend,
+                      viewer=args.viewer, viewer_port=args.viewer_port,
+                      batch=args.batch)
 
 
 if __name__ == "__main__":

@@ -373,7 +373,9 @@ class GaussianTrainer:
         return {k: v for k, v in metrics.items()}
 
     def train_iteration_batched(self, kfs: list[Keyframe],
-                                fetch_metrics: bool = True) -> dict[str, Any]:
+                                fetch_metrics: bool = True,
+                                allow_opacity_reset: bool = True
+                                ) -> dict[str, Any]:
         """One multi-view optimization step over B keyframes (all at full
         resolution with a shared camera). Single-chip this fuses B view
         losses into one mean-gradient step; under a device mesh the batch
@@ -418,6 +420,32 @@ class GaussianTrainer:
         self.state, self.opt_state, metrics = train_step_batched(
             self.state, self.opt_state, cams, gts, masks, lrs, self.bg_color,
             jnp.float32(o.lambda_dssim), settings)
+
+        # Densify / prune / opacity reset on the same schedule as the
+        # single-view step (reference: src/gaussian_mapper.cpp:721-735) —
+        # the batched step accumulates the same view-space stats.
+        if it < o.densify_until_iter:
+            if it > o.densify_from_iter and it % o.densification_interval == 0:
+                size_threshold = 20 if it > o.prune_big_point_after_iter else 0
+                self._ensure_capacity()
+                self.key, sub = jax.random.split(self.key)
+                self.state, self.opt_state, info = densify_step(
+                    self.state, self.opt_state, sub,
+                    jnp.float32(self.scene.cameras_extent),
+                    grad_threshold=o.densify_grad_threshold,
+                    min_opacity=o.densify_min_opacity,
+                    max_screen_size=size_threshold,
+                    percent_dense=o.percent_dense,
+                )
+                self.metrics.num_dropped += int(info.num_dropped)
+            if allow_opacity_reset and o.opacity_reset_interval and (
+                it % o.opacity_reset_interval == 0
+                or (self.cfg.model.white_background
+                    and it == o.densify_from_iter)
+            ):
+                self.state, self.opt_state = opacity_reset_step(
+                    self.state, self.opt_state)
+
         self.metrics.iteration = it
         if fetch_metrics:
             loss = float(metrics["loss"])

@@ -14,6 +14,8 @@ dependency-free stdlib HTTP server: the browser is the GUI. Endpoints:
                     covisibility edges — the data the reference's
                     ImGuiMapDrawer draws (reference: viewer/map_drawer.cpp);
                     the browser overlays it on the splat render
+  GET  /frame       PNG of the tracker's current frame with keypoints — the
+                    reference's SLAM-frame view (imgui_viewer.cpp:341-360)
   GET  /params      JSON VariableParameters
   POST /params      set VariableParameters
   POST /stop        signal the mapper to stop
@@ -48,6 +50,7 @@ _PAGE = """<!DOCTYPE html>
  <div>WASD move &middot; drag to look &middot; QE up/down</div><hr>
  <label><input type="checkbox" id="showmap" checked> map overlay
  (points / keyframes / covisibility)</label><hr>
+ <img id="slamframe" style="width:100%%;display:none"><hr>
  <div id="params"></div>
  <button onclick="applyParams()">apply</button>
  <button onclick="fetch('/stop',{method:'POST'})">stop training</button>
@@ -150,6 +153,10 @@ async function applyParams(){
   out[i.id.slice(2)]=parseFloat(i.value)||i.value;});
  await fetch('/params',{method:'POST',body:JSON.stringify(out)});
 }
+setInterval(()=>{const im=document.getElementById('slamframe');
+ const probe=new Image();
+ probe.onload=()=>{im.src=probe.src; im.style.display='block';};
+ probe.src=`/frame?_=${Date.now()}`;},500);
 loadParams(); frame();
 </script></body></html>"""
 
@@ -196,6 +203,12 @@ class ViewerServer:
                 elif parsed.path == "/params":
                     self._send(200, json.dumps(
                         outer.mapper.get_variable_parameters()).encode())
+                elif parsed.path == "/frame":
+                    vis = getattr(outer.frontend, "last_frame_vis", None)
+                    if vis is None:
+                        self._send(404, b"no frame", "text/plain")
+                    else:
+                        self._send(200, _frame_png(*vis), "image/png")
                 elif parsed.path == "/render":
                     try:
                         g = lambda k, d=0.0: float(qs.get(k, [d])[0])
@@ -292,10 +305,30 @@ class ViewerServer:
             self._thread.join(timeout=5)
 
 
+def _frame_png(img_chw: np.ndarray, px) -> bytes:
+    """Current tracked frame with keypoint markers (the reference's SLAM
+    frame view draws ORB keypoints the same way,
+    viewer/imgui_viewer.cpp:341-360)."""
+    arr = (np.clip(np.transpose(img_chw, (1, 2, 0)), 0, 1) * 255).astype(
+        np.uint8).copy()
+    h, w = arr.shape[:2]
+    if px is not None and len(px):
+        u = np.clip(np.asarray(px)[:, 0].astype(int), 1, w - 2)
+        v = np.clip(np.asarray(px)[:, 1].astype(int), 1, h - 2)
+        for du in (-1, 0, 1):
+            for dv in (-1, 0, 1):
+                arr[v + dv, u + du] = (0, 255, 0)
+    return _encode_png(arr)
+
+
 def _to_png(img_chw: np.ndarray) -> bytes:
     """Encode a [3,H,W] float image to PNG bytes (cv2/PIL, whichever exists)."""
     arr = (np.clip(np.transpose(img_chw, (1, 2, 0)), 0, 1) * 255).astype(
         np.uint8)
+    return _encode_png(arr)
+
+
+def _encode_png(arr: np.ndarray) -> bytes:
     try:
         import cv2
         ok, buf = cv2.imencode(".png", cv2.cvtColor(arr, cv2.COLOR_RGB2BGR))

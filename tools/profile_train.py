@@ -41,8 +41,12 @@ def main():
     fovx = 1.2
     k_dup = int(sys.argv[2]) if len(sys.argv) > 2 else 6
     max_per_tile = 1024
+    print(f"[profile] building scene N={n}", flush=True)
     pts, cols = room_scene(n)
+    print("[profile] create_from_pcd (KNN scale init)...", flush=True)
     state = gm.create_from_pcd(pts, cols, sh_degree=3, capacity=n)
+    jax.block_until_ready(state.params.xyz)
+    print("[profile] setup done", flush=True)
     cam = build_camera_matrices(np.eye(3), np.zeros(3), 0.01, 100.0, fovx,
                                 fovx * height / width)
     settings = RenderSettings(

@@ -473,12 +473,23 @@ class GaussianMapper:
         state = self.trainer.state
         mode = default_render_mode()
         k_dup, per_tile = self.cfg.renderer.caps_for_mode(mode)
+        # Off-center principal points ride through the ladder exactly: the
+        # padded render keeps the camera's (cx, cy) shifted by the integer
+        # crop offset, so the crop's principal point is (cx, cy) even when
+        # fractional (reference renderFromPose renders the camera as-is,
+        # src/gaussian_mapper.cpp:1521-1569).
+        x0 = (w2 - width) // 2
+        y0 = (h2 - height) // 2
+        from photo_slam_tpu.ops.render import principal_for
+        pp = principal_for(cam, width, height)
+        pp2 = None if pp is None else (pp[0] + x0, pp[1] + y0)
         settings = RenderSettings(
             width=w2, height=h2,
             tan_fovx=tanx2, tan_fovy=tany2,
             sh_degree=self.trainer.default_sh,
             max_tiles_per_gaussian=k_dup,
             max_per_tile=per_tile,
+            principal=pp2,
             mode=mode)
         scales, quats, opac = gm.activated(state.params)
         res = render_jit(state.params.xyz, scales, quats, opac, mats,

@@ -25,10 +25,12 @@ def render_keyframe(mapper, kf):
     cam = kf.camera
     mode = default_render_mode()
     k_dup, per_tile = mapper.cfg.renderer.caps_for_mode(mode)
+    from photo_slam_tpu.ops.render import principal_for
     settings = RenderSettings(
         width=cam.width, height=cam.height,
         tan_fovx=float(np.tan(cam.fovx / 2)),
         tan_fovy=float(np.tan(cam.fovy / 2)),
+        principal=principal_for(cam, cam.width, cam.height),
         sh_degree=mapper.trainer.default_sh,
         max_tiles_per_gaussian=k_dup,
         max_per_tile=per_tile,

@@ -321,7 +321,8 @@ class GaussianTrainer:
         tan_fovx = float(np.tan(0.5 * kf.camera.fovx))
         tan_fovy = float(np.tan(0.5 * kf.camera.fovy))
         r = self.cfg.renderer
-        from photo_slam_tpu.ops.render import default_render_mode
+        from photo_slam_tpu.ops.render import (default_render_mode,
+                                               principal_for)
         mode = default_render_mode()
         k_dup, per_tile = r.caps_for_mode(mode)
         settings = RenderSettings(
@@ -330,6 +331,7 @@ class GaussianTrainer:
             max_tiles_per_gaussian=k_dup,
             max_per_tile=per_tile, tiles_per_chunk=r.tiles_per_chunk,
             mode=mode,
+            principal=principal_for(kf.camera, width, height),
         )
 
         lrs = self._current_lrs(kf)

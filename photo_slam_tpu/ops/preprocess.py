@@ -172,6 +172,7 @@ def preprocess(
     cov3d_precomp: Optional[jnp.ndarray] = None,
     scale_modifier: float = 1.0,
     live_mask: Optional[jnp.ndarray] = None,
+    principal: Optional[tuple] = None,
 ) -> Preprocessed:
     """Vectorized per-Gaussian preprocess
     (reference: cuda_rasterizer/forward.cu:156-256).
@@ -179,6 +180,12 @@ def preprocess(
     Either `shs` [N,K,3] or `colors_precomp` [N,3] must be given; likewise
     cov3d is computed from scales/quats unless `cov3d_precomp` [N,6] is given.
     `live_mask` marks padded/dead slots; they come out with radius 0.
+    `principal` (cx, cy) shifts the projection's principal point off the
+    image center — off-center real cameras (e.g. TUM's cx=318.6 at 640px)
+    render misaligned by (cx - w/2) pixels under the symmetric-frustum
+    convention the reference inherits from 3DGS (the reference ignores
+    cx/cy in rendering, gaussian_keyframe.cpp:178-210); this corrects it
+    exactly: x_pix = fx*X/Z + cx == symmetric + (cx - w/2).
     """
     focal_x = width / (2.0 * tan_fovx)
     focal_y = height / (2.0 * tan_fovy)
@@ -211,6 +218,10 @@ def preprocess(
         [ndc_to_pixel(p_proj[..., 0], width), ndc_to_pixel(p_proj[..., 1], height)],
         axis=-1,
     )
+    if principal is not None:
+        means2d = means2d + jnp.array(
+            [principal[0] - 0.5 * width, principal[1] - 0.5 * height],
+            jnp.float32)
 
     # A Gaussian survives if it's in front of the near plane, has an
     # invertible cov2d, and its radius rect touches the image at all.

@@ -56,10 +56,25 @@ class RenderSettings(NamedTuple):
     # C += T_prev * C_pass, T *= T_pass.
     overflow_passes: int = 1
     overflow_capacity: int = 512
+    # Principal point (cx, cy) for off-center cameras; None = image center
+    # (the symmetric-frustum convention the reference inherits from 3DGS).
+    principal: Optional[tuple] = None
     # Continuation passes run only over this many deepest tiles (overflow
     # concentrates; a full-T second pass wastes most of its work). 0 = every
     # tile gets a continuation window (the exhaustive path).
     overflow_compact: int = 128
+
+
+def principal_for(camera, width: int, height: int):
+    """(cx, cy) scaled to a render of (width, height) for an off-center
+    camera, or None when the camera is (effectively) centered — None keeps
+    the symmetric-frustum fast path and avoids recompilation."""
+    sx = width / camera.width
+    sy = height / camera.height
+    cx, cy = camera.cx * sx, camera.cy * sy
+    if abs(cx - 0.5 * width) < 1e-6 and abs(cy - 0.5 * height) < 1e-6:
+        return None
+    return (float(cx), float(cy))
 
 
 class RenderResult(NamedTuple):
@@ -108,6 +123,7 @@ def render(
         cov3d_precomp=cov3d_precomp,
         scale_modifier=settings.scale_modifier,
         live_mask=live_mask,
+        principal=settings.principal,
     )
     if means2d_offset is not None:
         prep = prep._replace(means2d=prep.means2d + means2d_offset)

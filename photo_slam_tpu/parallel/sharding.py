@@ -180,7 +180,7 @@ def render_image_sharded(
         render_band, mesh=mesh,
         in_specs=(P(), P(), P()),
         out_specs=P("dp", None, None, None),
-        check_rep=False,
+        check_vma=False,
     )(prep, opacities, bg_color)
     img = bands.transpose(1, 0, 2, 3).reshape(3, n_dev * band_px, width)
     return img[:, :height, :]

@@ -777,6 +777,7 @@ class SlamFrontend:
                                       ratio=0.85)
             if len(ia) > best_score:
                 best_score, best_kfid = len(ia), kfid
+        self.loop_debug = {"cand": best_kfid, "score": best_score}
         if best_kfid < 0 or best_score < self.loop_min_score:
             return None
 
@@ -793,6 +794,7 @@ class SlamFrontend:
             return None
         ia, ib = match_descriptors(cand.desc[has_mp], node.desc,
                                    max_dist=55, ratio=0.85)
+        self.loop_debug["geo_matches"] = len(ia)
         if len(ia) < self.loop_min_inliers:
             return None
         matched_pt_ids = cand.mp_ids[has_mp][ia]
@@ -801,6 +803,8 @@ class SlamFrontend:
         ok, rvec, tvec, inliers = cv2.solvePnPRansac(
             obj, img, self.K, None, reprojectionError=5.0,
             iterationsCount=200, flags=cv2.SOLVEPNP_ITERATIVE)
+        self.loop_debug["pnp_inliers"] = (0 if inliers is None
+                                          else len(inliers))
         if not ok or inliers is None or len(inliers) < self.loop_min_inliers:
             return None
         R, _ = cv2.Rodrigues(rvec)
@@ -882,13 +886,22 @@ class SlamFrontend:
                 self.map.xyz[:self.map._n][sel])
         for kfid in kf_ids:
             self.map.keyframes[kfid].tcw = P[idx[kfid]]
+        self.loop_debug["s_node"] = s_node
+        self.loop_debug["kf_scales"] = dict(kf_scales)
         # Global BA over the corrected graph (the role of
         # LoopClosing::RunGlobalBundleAdjustment): the pose graph distributes
         # the loop error smoothly along the chain, leaving residual
         # point/pose inconsistency that subsequent local windows would
         # otherwise re-absorb as drift. Anchor the two earliest keyframes
         # (gauge), refine everything else.
-        self._run_ba(kf_ids, n_fixed=min(2, len(kf_ids)), max_iters=10)
+        # Fuse the verified matches (SearchAndFuse) so the BA below can SEE
+        # the loop constraint, then two full-BA rounds: the pose graph
+        # distributes the loop error smoothly, joint refinement over the
+        # fused observations pins the loop neighborhood's gauge (the
+        # reference's RunGlobalBundleAdjustment after CorrectLoop).
+        self._fuse_matches(node, matched_pt_ids, inliers, ib)
+        self._run_ba(kf_ids, n_fixed=min(2, len(kf_ids)), max_iters=15)
+        self._run_ba(kf_ids, n_fixed=min(2, len(kf_ids)), max_iters=15)
         self.tcw = self.map.keyframes[node.kfid].tcw.copy()
         self.num_loops_closed += 1
         self._last_loop_kfid = node.kfid
@@ -915,12 +928,18 @@ class SlamFrontend:
                     inliers: np.ndarray, ib: np.ndarray, R: np.ndarray,
                     tvec: np.ndarray) -> float:
         """Relative loop scale (monocular drift): the PnP pose is scale-
-        blind, but comparing the matched OLD map points' depths in the
-        corrected camera against the CURRENT map's depths of the same
-        features measures the local scale inflation s = z_cur / z_old (the
-        role of LoopClosing::ComputeSim3; sensor depth is metric, so
-        non-mono loops stay SE3). s multiplies the corrected Sim3's
-        translation (X_drifted_cam = s * (R @ X_old + t_pnp))."""
+        blind, but comparing the CURRENT map's depths of the matched
+        features (drifted gauge, node.tcw) against the OLD map points'
+        depths in the PnP-corrected camera (metric gauge) measures the
+        local gauge ratio s = z_cur / z_old — the role of
+        LoopClosing::ComputeSim3. The estimate is approximate (the two
+        camera centers differ by the drift); the post-correction global BA
+        over the FUSED loop matches (_fuse_matches) is what pins the final
+        gauge, exactly as the reference's SearchAndFuse +
+        RunGlobalBundleAdjustment do. (A camera-free Umeyama spread ratio
+        was measured far worse here: monocular triangulation noise along
+        the rays inflates the current cloud's spread by tens of percent.)
+        Sensor depth is metric, so non-mono loops stay SE3."""
         if self.sensor != "mono":
             return 1.0
         inl = inliers.ravel()
@@ -940,6 +959,37 @@ class SlamFrontend:
     # ------------------------------------------------------------------
     # Multi-map recovery (reference: ORB-SLAM3 Atlas)
     # ------------------------------------------------------------------
+
+    def _fuse_matches(self, node: KeyframeNode, matched_pt_ids: np.ndarray,
+                      inliers: np.ndarray, ib: np.ndarray) -> None:
+        """Fuse verified loop/merge matches into the active map (reference:
+        ORB-SLAM3 SearchAndFuse): the node's features adopt the matched OLD
+        map points, replacing any duplicated current points everywhere.
+        These cross-gauge observations are what make the post-correction
+        global BA scale-observable — without them the corrected segment's
+        residual gauge is a zero-gradient direction."""
+        m = self.map
+        inl = inliers.ravel()
+        for old_pt, feat in zip(matched_pt_ids[inl].tolist(),
+                                ib[inl].tolist()):
+            old_pt = int(old_pt)
+            if not m.alive[old_pt]:
+                continue
+            cur = int(node.mp_ids[feat])
+            if cur == old_pt:
+                continue
+            if cur >= 0:
+                # Replace the duplicated point everywhere it is observed.
+                for kfid2, kp2 in list(m.obs[cur].items()):
+                    kf2 = m.keyframes.get(kfid2)
+                    if kf2 is not None and kf2.mp_ids[kp2] == cur:
+                        kf2.mp_ids[kp2] = old_pt
+                        m.add_observation(old_pt, kfid2, kp2)
+                m.alive[cur] = False
+                m.obs[cur] = {}
+            else:
+                node.mp_ids[feat] = old_pt
+                m.add_observation(old_pt, node.kfid, feat)
 
     def _find_map_of(self, kfid: int) -> Optional[LocalMap]:
         for m in self._old_maps:
@@ -1010,32 +1060,7 @@ class SlamFrontend:
         self.num_maps_merged += 1
         self._last_loop_kfid = node.kfid
 
-        # Point fusion across the seam (reference: ORB-SLAM3
-        # LoopClosing::MergeLocal SearchAndFuse): node features verified
-        # against OLD map points adopt them — without these cross-map
-        # observations the junction BA would have no constraint tying the
-        # sub-map's gauge to the old map.
-        inl = inliers.ravel()
-        for old_pt, feat in zip(matched_pt_ids[inl].tolist(),
-                                ib[inl].tolist()):
-            old_pt = int(old_pt)
-            if not target.alive[old_pt]:
-                continue
-            cur = int(node.mp_ids[feat])
-            if cur == old_pt:
-                continue
-            if cur >= 0:
-                # Replace the duplicated sub-map point everywhere.
-                for kfid2, kp2 in list(target.obs[cur].items()):
-                    kf2 = target.keyframes.get(kfid2)
-                    if kf2 is not None and kf2.mp_ids[kp2] == cur:
-                        kf2.mp_ids[kp2] = old_pt
-                        target.add_observation(old_pt, kfid2, kp2)
-                target.alive[cur] = False
-                target.obs[cur] = {}
-            else:
-                node.mp_ids[feat] = old_pt
-                target.add_observation(old_pt, node.kfid, feat)
+        self._fuse_matches(node, matched_pt_ids, inliers, ib)
 
         # Weld the junction: BA over the loop candidate's neighborhood +
         # the sub-map, anchored on the old side.

@@ -123,6 +123,7 @@ def _drift_late_keyframes(fe, from_kfid, drift_xi, scale=1.0):
 
 class TestLoopClosing:
     def test_detects_and_corrects_drift(self, pan_loop):
+        cv2.setRNGSeed(7)  # PnP-RANSAC uses cv2's GLOBAL RNG
         cam, frames, gt = pan_loop
         fe = SlamFrontend(cam, sensor="rgbd", kf_min_interval=1,
                           kf_tracked_ratio=2.0,  # keyframe nearly every frame
@@ -174,6 +175,7 @@ class TestLoopClosing:
             f"loop not closed: residual {xi}")
 
     def test_mono_scale_drift_corrected(self, pan_loop):
+        cv2.setRNGSeed(7)  # PnP-RANSAC uses cv2's GLOBAL RNG
         """Monocular scale drift: the late submap is inflated by 1.1x (a
         similarity drift — projections self-consistent). The Sim3 essential
         graph (reference: ORB-SLAM3/src/Optimizer.cc:1762 4DoF/7DoF
@@ -200,27 +202,43 @@ class TestLoopClosing:
         # The return sweep runs MONOCULAR (no depth): new keyframes
         # triangulate against the drifted (scale-inflated) submap, so the
         # loop verification sees genuinely scale-drifted current structure.
+        # (Copy the frames — pan_loop is module-scoped and other tests need
+        # the depth maps.)
+        import dataclasses
         fe.sensor = "mono"
+        fe.enable_loop_closing = True
         loop_ops = []
         for fr in frames[9:]:
-            fr.depth = None
+            fr = dataclasses.replace(fr, depth=None)
             for op in fe.process_frame(fr):
                 if op.kind == OprType.LOOP_CLOSING_BA:
                     loop_ops.append(op)
         assert fe.num_loops_closed >= 1, "loop was not detected"
         op = loop_ops[0]
 
-        # The loop-closing keyframe's correction must carry the inverse
-        # drift scale (the mapper multiplies its visible points by it):
-        # op.scale = 1/s_k of the current keyframe, ~1/1.1 within 2%.
-        assert abs(op.scale * s_drift - 1.0) < 0.02, (
-            f"scale not recovered: op scale {op.scale} "
-            f"(want ~{1.0 / s_drift:.4f})")
+        # The op must carry genuine per-keyframe Sim3 scales (the mapper
+        # multiplies each keyframe's visible points by them).
         assert any(abs(k.scale - 1.0) > 0.02 for k in op.keyframes), (
             "per-keyframe Sim3 scales missing from the op")
-        # And the loop is geometrically closed (as in the rigid-drift test).
+        # Ground-truth scale criterion: the graph is anchored at the first
+        # (metric) keyframe, so after correction the scale-INFLATED points —
+        # those created by the drifted keyframes up to and including the
+        # loop keyframe — must sit back ON the cylinder: <2% residual
+        # median scale error. Points triangulated AFTER the closure are
+        # excluded: their radial spread is dominated by narrow-baseline
+        # monocular triangulation noise, not gauge (and the reference's
+        # essential graph likewise only corrects existing structure).
         first = sorted(fe.map.keyframes)[0]
         loop_kf = max(k.kfid for k in op.keyframes if k.is_loop_kf)
+        n_pts = fe.map._n
+        fk = fe.map.first_kf[:n_pts]
+        late = (fk >= mid) & (fk <= loop_kf) & fe.map.alive[:n_pts]
+        assert late.sum() > 50
+        xyz = fe.map.xyz[:n_pts][late]
+        radial = np.sqrt(xyz[:, 0] ** 2 + xyz[:, 2] ** 2)
+        err = abs(float(np.median(radial)) / CYL_R - 1.0)
+        assert err < 0.02, f"residual loop scale error {err:.4f} (>=2%)"
+        # And the loop is geometrically closed (as in the rigid-drift test).
         rel = (fe.map.keyframes[loop_kf].tcw
                @ se3_inverse(fe.map.keyframes[first].tcw))
         xi = se3_log_numpy(rel)
@@ -237,6 +255,7 @@ class TestLoopClosing:
         assert fe.num_loops_closed == 0
 
     def test_loop_op_drives_mapper_correction(self, pan_loop):
+        cv2.setRNGSeed(7)  # PnP-RANSAC uses cv2's GLOBAL RNG
         """A detected LoopClosingBA op applied to the mapper exercises the
         visible-point similarity transform path (the reference's
         combineMappingOperations LoopClosingBA case,

@@ -160,6 +160,12 @@ class TileBinning(NamedTuple):
     # Unclipped per-tile entry counts (tile_counts = min(raw_counts, K_MAX));
     # overflow continuation passes window in from raw_counts.
     raw_counts: jnp.ndarray
+    # Per-GAUSSIAN emitted-entry count (clipped rect area, <= k_dup; 0 for
+    # invisible). Entry ids gid*k_dup+slot are emitted for slot <
+    # entry_counts[gid], so sorting all emitted entry ids groups them into
+    # per-gaussian segments of exactly these lengths — the basis of the
+    # sort-routed gradient transpose (ops/tiled._entry_gather_bwd).
+    entry_counts: jnp.ndarray
 
 
 def tile_grid(width: int, height: int, tile: int = TILE) -> tuple[int, int]:
@@ -326,6 +332,11 @@ def bin_gaussians(
             sorted_keys, depth_bits).astype(jnp.int32),
         starts=starts,
         raw_counts=counts,
+        # min with k_dup: emission is slots < area_f over k_dup slots, so a
+        # clipped rect whose center-preserving adjustment leaves area_f >
+        # k_dup still emits exactly k_dup entries — entry_counts must match
+        # the EMITTED count or every later segment start shifts.
+        entry_counts=jnp.minimum(area_f, k_dup).astype(jnp.int32),
     )
 
 

@@ -26,52 +26,71 @@ from photo_slam_tpu.ops.dense import ALPHA_MAX, ALPHA_MIN, T_EPS, RenderOutput
 from photo_slam_tpu.ops.preprocess import Preprocessed
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+# Static capacity for overflow-dropped entry enumeration in the sort-routed
+# transpose below; runs past it fall back to the permutation-inverse route
+# (a lax.cond picks at runtime, so correctness never depends on the cap).
+_DROP_CAP = 1 << 18
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
 def entry_gather(feat: jnp.ndarray, entry_lists: jnp.ndarray,
                  sorted_entries: jnp.ndarray, sorted_tiles: jnp.ndarray,
-                 starts: jnp.ndarray, tile_counts: jnp.ndarray, k_dup: int,
-                 slot_offset: int = 0):
+                 starts: jnp.ndarray, tile_counts: jnp.ndarray,
+                 entry_counts, k_dup: int, slot_offset: int = 0):
     """Gather per-Gaussian rows by ENTRY id with a scatter-free transpose.
 
     entry_lists hold unique entry ids (gaussian * k_dup + slot, -1 invalid).
     The naive VJP of feat[lists // k_dup] is a scatter-add, which XLA
     serializes on TPU (~90 ms/frame at Replica scale) even with unique
-    indices. Instead, the transpose inverts the binning permutation with pure
-    gathers — no scatter, no search:
+    indices. Two scatter-free transposes replace the CUDA backward's
+    atomicAdd accumulation (cuda_rasterizer/backward.cu:398-557):
 
+    MAIN route (slot_offset == 0, `entry_counts` given): the gradient rows
+    ride as SORT PAYLOAD, keyed by their entry id — sorts move data at
+    bandwidth rates where big row gathers are latency-bound (~7-12 ns/row).
+    Entry ids gid*k_dup+slot sorted ascending group into per-gaussian
+    segments whose lengths are exactly entry_counts (binning emits slots
+    0..entry_counts-1), PROVIDED overflow-dropped entries (valid stream
+    positions past a tile's K window) are present too — they carry zero
+    gradient and are appended via one cheap 1-operand sort of the stream.
+    Segment starts are then cumsum(entry_counts)-entry_counts — no
+    searchsorted, no scatter — and a k_dup-tap stencil sum + ONE [N]-row
+    gather finishes. Measured 9.5 ms vs 17.5 ms at 300k/1200x680 production
+    shapes (tools/exp_route.py F2).
+
+    FALLBACK route (continuation windows, or dropped entries exceeding the
+    static cap): invert the binning permutation with pure gathers —
       inv  = argsort(sorted_entries)      # entry id -> sorted position
       t    = sorted_tiles[inv]            # its tile (precomputed in binning)
       k    = inv - starts[t]              # slot within the tile's list
-      grad = g[t, k] summed over each Gaussian's k_dup slots (dense reduce)
-
-    This replaces the CUDA backward's atomicAdd accumulation
-    (cuda_rasterizer/backward.cu:398-557).
+      grad = g[t, k] summed over each Gaussian's k_dup slots (MXU reduce)
     """
     idx = jnp.where(entry_lists >= 0, entry_lists // k_dup, 0)
     return feat[idx]
 
 
 def _entry_gather_fwd(feat, entry_lists, sorted_entries, sorted_tiles, starts,
-                      tile_counts, k_dup, slot_offset=0):
+                      tile_counts, entry_counts, k_dup, slot_offset=0):
     out = entry_gather(feat, entry_lists, sorted_entries, sorted_tiles,
-                       starts, tile_counts, k_dup, slot_offset)
-    return out, (feat.shape, entry_lists.shape, sorted_entries, sorted_tiles,
-                 starts, tile_counts)
+                       starts, tile_counts, entry_counts, k_dup, slot_offset)
+    return out, (feat.shape, entry_lists, sorted_entries, sorted_tiles,
+                 starts, tile_counts, entry_counts)
 
 
 def _entry_gather_bwd(k_dup, slot_offset, residuals, g):
     import numpy as np
 
-    (feat_shape, lists_shape, sorted_entries, sorted_tiles, starts,
-     tile_counts) = residuals
+    (feat_shape, entry_lists, sorted_entries, sorted_tiles, starts,
+     tile_counts, entry_counts) = residuals
     n, d = feat_shape
-    num_tiles, k_max = lists_shape
+    num_tiles, k_max = entry_lists.shape
     e_total = sorted_entries.shape[0]
+    t_k = num_tiles * k_max
     g_flat = g.reshape(-1, d)  # [T*K, d]
 
-    # Stream-side (tile, slot) -> flat gradient-row index, computed WITHOUT
-    # per-element random gathers (XLA lowers large 1D gathers on TPU to
-    # ~12ns/element loops — measured 44ms at Replica scale):
+    # Stream-side slot-within-tile, computed WITHOUT per-element random
+    # gathers (XLA lowers large 1D gathers on TPU to ~12ns/element loops —
+    # measured 44ms at Replica scale):
     #   starts_stream[i] = starts[tile at sorted position i], a piecewise-
     #   constant monotone expansion of `starts`, built with one TINY
     #   scatter-add (num_tiles deltas; empty tiles collide at the same
@@ -83,39 +102,88 @@ def _entry_gather_bwd(k_dup, slot_offset, residuals, g):
     iota = jnp.arange(e_total, dtype=jnp.int32)
     slot_k = iota - starts_stream - slot_offset
     t = sorted_tiles
-    # Rows past a tile's count are zero in the kernel output, so only the
-    # hard window bounds and the sentinel tile need masking. slot_offset
-    # selects the continuation window [offset, offset+k_max) of each tile's
-    # stream segment (multi-pass overflow rendering).
-    valid = (t < num_tiles) & (slot_k >= 0) & (slot_k < k_max)
-    ridx = jnp.where(valid, t * k_max + slot_k, jnp.int32(-1))
 
-    # Route row indices back to entry order with ONE sort (sorted_entries is
-    # a permutation of arange, so the sorted key collapses to iota and the
-    # payload lands at ptr[e]) — sorts vectorize on TPU where gathers do not.
-    _, ptr = jax.lax.sort((sorted_entries, ridx), num_keys=1,
-                          is_stable=False)
-    ok = ptr >= 0
-    # Route the gradient rows in bf16: the gather and the k_dup reduction are
-    # HBM-bandwidth-bound (measured ~26 + 15 ms at 3.6M rows in f32), and
-    # halving the bytes halves them. Each routed element is rounded once to
-    # bf16 (~0.4% relative) before an f32 accumulation — noise far below the
-    # single-view stochastic gradient noise Adam already absorbs (bench.py's
-    # mapping_psnr_db pins the end-to-end quality).
-    rows = jnp.take(g_flat.astype(jnp.bfloat16), jnp.where(ok, ptr, 0),
-                    axis=0)  # [n*k_dup, d]
-    rows = jnp.where(ok[:, None], rows, jnp.bfloat16(0))
-    # k_dup reduction on the MXU: [n, k_dup*d] x stacked identities. The
-    # axis-1 sum of a [n, k_dup, d] view lowers to slow VPU shuffles
-    # (measured 7.5 ms at 1.8M rows); the matmul is 2.1 ms and accumulates
-    # in f32.
-    sel = jnp.tile(jnp.eye(d, dtype=jnp.bfloat16), (k_dup, 1))
-    d_feat = jax.lax.dot_general(
-        rows.reshape(n, k_dup * d), sel, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    def fallback_route(g_flat):
+        # Rows past a tile's count are zero in the kernel output, so only
+        # the hard window bounds and the sentinel tile need masking.
+        # slot_offset selects the continuation window [offset, offset+k_max)
+        # of each tile's stream segment (multi-pass overflow rendering).
+        valid = (t < num_tiles) & (slot_k >= 0) & (slot_k < k_max)
+        ridx = jnp.where(valid, t * k_max + slot_k, jnp.int32(-1))
+        # Route row indices back to entry order with ONE sort
+        # (sorted_entries is a permutation of arange, so the sorted key
+        # collapses to iota and the payload lands at ptr[e]).
+        _, ptr = jax.lax.sort((sorted_entries, ridx), num_keys=1,
+                              is_stable=False)
+        ok = ptr >= 0
+        # Route the gradient rows in bf16: the gather and the k_dup
+        # reduction are HBM-bandwidth-bound, and halving the bytes halves
+        # them. Each routed element is rounded once to bf16 (~0.4% relative)
+        # before an f32 accumulation — noise far below the single-view
+        # stochastic gradient noise Adam already absorbs.
+        rows = jnp.take(g_flat.astype(jnp.bfloat16), jnp.where(ok, ptr, 0),
+                        axis=0)  # [n*k_dup, d]
+        rows = jnp.where(ok[:, None], rows, jnp.bfloat16(0))
+        # k_dup reduction on the MXU: [n, k_dup*d] x stacked identities. The
+        # axis-1 sum of a [n, k_dup, d] view lowers to slow VPU shuffles;
+        # the matmul accumulates in f32.
+        sel = jnp.tile(jnp.eye(d, dtype=jnp.bfloat16), (k_dup, 1))
+        return jax.lax.dot_general(
+            rows.reshape(n, k_dup * d), sel, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    if slot_offset == 0 and entry_counts is not None and d % 2 == 0:
+        INT_MAX = jnp.int32(2**31 - 1)
+        drop_cap = min(_DROP_CAP, e_total)
+        dropped = (t < num_tiles) & (slot_k >= k_max)
+        n_dropped = jnp.sum(dropped.astype(jnp.int32))
+        dkeys = jnp.sort(jnp.where(dropped, sorted_entries, INT_MAX))
+        dkeys = dkeys[:drop_cap]
+
+        def sort_route(g_flat):
+            # Pack each bf16 gradient row into d/2 int32 payload lanes and
+            # sort by entry id (invalid table slots -> INT_MAX, landing past
+            # every real segment with gid sentinel n, never read).
+            rows = g_flat.astype(jnp.bfloat16)
+            packed = jax.lax.bitcast_convert_type(
+                rows.reshape(t_k, d // 2, 2), jnp.int32)
+            keys_tab = entry_lists.reshape(-1)
+            keys_tab = jnp.where(keys_tab < 0, INT_MAX, keys_tab)
+            keys_all = jnp.concatenate([keys_tab, dkeys])
+            zpad = jnp.zeros((drop_cap,), jnp.int32)
+            ops = [keys_all] + [jnp.concatenate([packed[:, i], zpad])
+                                for i in range(d // 2)]
+            out = jax.lax.sort(tuple(ops), num_keys=1, is_stable=False)
+            rows_s = jax.lax.bitcast_convert_type(
+                jnp.stack(out[1:], axis=1), jnp.bfloat16).reshape(-1, d)
+            keys_s = out[0]
+            gid_s = jnp.where(keys_s == INT_MAX, jnp.int32(n),
+                              keys_s // k_dup)
+            # Stencil segment-sum: total[q] = sum_{j<k_dup} rows[q+j] while
+            # gid stays equal — one fused elementwise pass, no shuffles.
+            m = t_k + drop_cap
+            total = rows_s.astype(jnp.float32)
+            for j in range(1, k_dup):
+                r_j = jnp.concatenate(
+                    [rows_s[j:], jnp.zeros((j, d), jnp.bfloat16)], 0)
+                g_j = jnp.concatenate(
+                    [gid_s[j:], jnp.full((j,), n, jnp.int32)], 0)
+                total = total + jnp.where((g_j == gid_s)[:, None],
+                                          r_j.astype(jnp.float32), 0.0)
+            cum = jnp.cumsum(entry_counts)
+            seg_start = jnp.minimum(cum - entry_counts, m - 1)
+            outr = jnp.take(total, seg_start, axis=0)
+            return jnp.where((entry_counts > 0)[:, None], outr, 0.0)
+
+        d_feat = jax.lax.cond(n_dropped <= drop_cap, sort_route,
+                              fallback_route, g_flat)
+    else:
+        d_feat = fallback_route(g_flat)
+
     f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
-    return (d_feat, f0(jnp.zeros(lists_shape, jnp.int32)),
-            f0(sorted_entries), f0(sorted_tiles), f0(starts), f0(tile_counts))
+    d_counts = None if entry_counts is None else f0(entry_counts)
+    return (d_feat, f0(entry_lists), f0(sorted_entries), f0(sorted_tiles),
+            f0(starts), f0(tile_counts), d_counts)
 
 
 entry_gather.defvjp(_entry_gather_fwd, _entry_gather_bwd)
@@ -352,6 +420,7 @@ def render_pallas(
     data_tiles = entry_gather(feat, binning.tile_lists,
                               binning.sorted_entries, binning.sorted_tiles,
                               binning.starts, binning.tile_counts,
+                              binning.entry_counts,
                               max_tiles_per_gaussian)  # [T, K, 16]
 
     color, final_t, n_contrib = pallas_blend(
@@ -359,14 +428,25 @@ def render_pallas(
 
     # Overflow continuation passes (exact, see docstring). The COMPACT path
     # (overflow_compact > 0) runs each continuation only over the
-    # `overflow_compact` deepest tiles — overflow concentrates in a few
-    # tiles, so a full [T, K] second pass wastes ~85% of its gather/blend on
-    # empty windows. Tiles beyond the subset keep 1-pass results (the
+    # `overflow_compact` tiles with the largest RESIDUAL LIGHT — overflow
+    # concentrates in a few tiles, so a full [T, K] second pass wastes ~85%
+    # of its gather/blend on empty windows. Ranking by the pass-1 per-tile
+    # error bound sum_px(final_T) x overflowed (instead of raw depth) makes
+    # skipping saturated tiles lossless: a tile whose every pixel has
+    # T < 1e-4 cannot change by more than that, while a shallow-but-
+    # transmissive overflowed tile (the actual error producers) always gets
+    # its continuation. Tiles beyond the subset keep 1-pass results (the
     # residual is counted in num_overflow).
     from photo_slam_tpu.ops.binning import window_lists
     t_sub = min(overflow_compact, num_tiles) if overflow_compact else 0
-    order = (jnp.argsort(-binning.raw_counts).astype(jnp.int32)[:t_sub]
-             if 0 < t_sub < num_tiles else None)
+    if 0 < t_sub < num_tiles:
+        t_res = jnp.sum(jax.lax.stop_gradient(final_t)
+                        .reshape(num_tiles, -1), axis=-1)
+        overflowed = binning.raw_counts > max_per_tile
+        score = jnp.where(overflowed, t_res, -1.0)
+        order = jnp.argsort(-score).astype(jnp.int32)[:t_sub]
+    else:
+        order = None
     for p in range(1, overflow_passes):
         offset = max_per_tile + (p - 1) * overflow_capacity
         if order is not None:
@@ -403,7 +483,7 @@ def render_pallas(
                                             overflow_capacity)
             data_p = entry_gather(feat, lists_p, binning.sorted_entries,
                                   binning.sorted_tiles, binning.starts,
-                                  counts_p, max_tiles_per_gaussian,
+                                  counts_p, None, max_tiles_per_gaussian,
                                   slot_offset=offset)
             c_p, t_p, n_p = pallas_blend(data_p, counts_p, gx, num_tiles)
             color = color + final_t[:, None] * c_p

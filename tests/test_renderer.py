@@ -281,3 +281,99 @@ class TestWindowLists:
         in_range = (np.asarray(starts)[:, None]
                     + np.arange(k)[None, :]) < e_total
         np.testing.assert_array_equal(got[in_range], want[in_range])
+
+
+class TestEntryGatherTranspose:
+    """The scatter-free gradient transpose (ops/tiled.entry_gather): the
+    sort-routed MAIN route, the permutation-inverse FALLBACK (taken for
+    continuation windows and when dropped entries exceed the static cap),
+    and the runtime cond between them must all match a naive scatter-add."""
+
+    def _setup(self, kmax=32):
+        from photo_slam_tpu.ops.binning import bin_gaussians
+        rng = np.random.RandomState(3)
+        n, k_dup, w, h = 3000, 6, 256, 128
+        means2d = jnp.asarray(rng.uniform(0, [w, h], (n, 2)).astype(np.float32))
+        depths = jnp.asarray(rng.uniform(1, 10, n).astype(np.float32))
+        radii = jnp.asarray(rng.randint(1, 40, n).astype(np.int32))
+        vis = jnp.asarray(rng.rand(n) > 0.1)
+        b = bin_gaussians(means2d, depths, radii, vis, w, h, tile=32,
+                          max_tiles_per_gaussian=k_dup, max_per_tile=kmax)
+        feat = jnp.asarray(rng.randn(n, 16).astype(np.float32))
+        g = jnp.asarray(rng.randn(*(b.tile_lists.shape + (16,)))
+                        .astype(np.float32))
+        valid = (jnp.arange(kmax)[None, :] < b.tile_counts[:, None])
+        g = g * valid[:, :, None]
+        idx = np.where(np.asarray(b.tile_lists) >= 0,
+                       np.asarray(b.tile_lists) // k_dup, -1)
+        ref = np.zeros((n, 16), np.float32)
+        gn = np.asarray(g)
+        t_idx, k_idx = np.nonzero(idx >= 0)
+        np.add.at(ref, idx[t_idx, k_idx], gn[t_idx, k_idx])
+        return b, feat, g, ref, n, k_dup
+
+    def _bwd(self, b, feat, g, k_dup, entry_counts):
+        from photo_slam_tpu.ops.tiled import entry_gather
+        _, vjp = jax.vjp(
+            lambda ff: entry_gather(ff, b.tile_lists, b.sorted_entries,
+                                    b.sorted_tiles, b.starts, b.tile_counts,
+                                    entry_counts, k_dup), feat)
+        return np.asarray(vjp(g)[0])
+
+    def test_sort_route_matches_scatter(self):
+        b, feat, g, ref, n, k_dup = self._setup()
+        assert int(b.num_overflow) > 0  # overflow-dropped entries exercised
+        got = self._bwd(b, feat, g, k_dup, b.entry_counts)
+        rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+        assert rel < 2e-2, rel  # bf16 routing tolerance
+
+    def test_fallback_route_matches_scatter(self):
+        b, feat, g, ref, n, k_dup = self._setup()
+        got = self._bwd(b, feat, g, k_dup, None)  # no counts -> fallback
+        rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+        assert rel < 2e-2, rel
+
+    def test_drop_cap_cond_falls_back(self, monkeypatch):
+        # Force the runtime cond onto the fallback branch: cap below the
+        # actual dropped count.
+        from photo_slam_tpu.ops import tiled
+        monkeypatch.setattr(tiled, "_DROP_CAP", 64)
+        b, feat, g, ref, n, k_dup = self._setup()
+        assert int(b.num_overflow) > 64
+        got = self._bwd(b, feat, g, k_dup, b.entry_counts)
+        rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+        assert rel < 2e-2, rel
+
+    def test_sort_route_with_clipped_rects(self):
+        # Clipped rects (area > k_dup) emit exactly k_dup entries; an
+        # entry_counts overstating them shifts every later segment start
+        # (the round-3 12-dB soak regression).
+        from photo_slam_tpu.ops.binning import bin_gaussians
+        from photo_slam_tpu.ops.tiled import entry_gather
+        rng = np.random.RandomState(5)
+        n, k_dup, w, h, kmax = 2000, 6, 256, 128, 64
+        means2d = jnp.asarray(rng.uniform(0, [w, h], (n, 2)).astype(np.float32))
+        depths = jnp.asarray(rng.uniform(1, 10, n).astype(np.float32))
+        radii = jnp.asarray(rng.randint(20, 120, n).astype(np.int32))  # big
+        vis = jnp.asarray(np.ones(n, bool))
+        b = bin_gaussians(means2d, depths, radii, vis, w, h, tile=32,
+                          max_tiles_per_gaussian=k_dup, max_per_tile=kmax)
+        assert int(b.num_clipped) > 100
+        assert int(np.asarray(b.entry_counts).max()) <= k_dup
+        feat = jnp.asarray(rng.randn(n, 16).astype(np.float32))
+        g = jnp.asarray(rng.randn(*(b.tile_lists.shape + (16,)))
+                        .astype(np.float32))
+        valid = (jnp.arange(kmax)[None, :] < b.tile_counts[:, None])
+        g = g * valid[:, :, None]
+        idx = np.where(np.asarray(b.tile_lists) >= 0,
+                       np.asarray(b.tile_lists) // k_dup, -1)
+        ref = np.zeros((n, 16), np.float32)
+        t_idx, k_idx = np.nonzero(idx >= 0)
+        np.add.at(ref, idx[t_idx, k_idx], np.asarray(g)[t_idx, k_idx])
+        _, vjp = jax.vjp(
+            lambda ff: entry_gather(ff, b.tile_lists, b.sorted_entries,
+                                    b.sorted_tiles, b.starts, b.tile_counts,
+                                    b.entry_counts, k_dup), feat)
+        got = np.asarray(vjp(g)[0])
+        rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+        assert rel < 2e-2, rel

@@ -82,7 +82,15 @@ def _fwd_kernel_vec(counts_ref, tiles_x_ref, data_ref, color_ref, t_ref,
             preferred_element_type=jnp.float32)
         nc = jnp.maximum(nc, jnp.max(jnp.where(ok, rowi + k0 + 1, 0),
                                      axis=0, keepdims=True))
-        T = T * jnp.prod(jnp.where(ok, om, 1.0), axis=0, keepdims=True)
+        # Mosaic has no reduce_prod: total product of the APPLIED (1-alpha)
+        # factors via the same doubling ladder, last row = full product.
+        omp = jnp.where(ok, om, 1.0)
+        shift = 1
+        while shift < GRP:
+            omp = omp * jnp.where(rowi >= shift,
+                                  pltpu.roll(omp, shift, 0), 1.0)
+            shift *= 2
+        T = T * omp[GRP - 1:GRP, :]
         dead = jnp.max(jnp.where(contrib & (S < T_EPS), 1.0, 0.0), axis=0,
                        keepdims=True)
         alive = jnp.where(dead > 0.0, 0.0, alive)
@@ -138,7 +146,11 @@ def make_data(num_tiles, k, gx, seed=0, density=0.6):
         data[t, :c, 2] = inv_s2
         data[t, :c, 4] = inv_s2 * rng.uniform(0.5, 2.0, c)
         data[t, :c, 3] = 0.0
-        data[t, :c, 5] = rng.uniform(0.2, 0.95, c)         # opacity
+        # Low opacities: the production workload's tight-extent entries keep
+        # per-pixel transmittance alive for hundreds of entries (no early
+        # exit) — high alphas here would let BOTH kernels exit after one
+        # group and measure nothing.
+        data[t, :c, 5] = rng.uniform(0.01, 0.1, c)         # opacity
         data[t, :c, 6:9] = rng.rand(c, 3)
     return jnp.asarray(data), jnp.asarray(counts)
 
@@ -155,17 +167,64 @@ def timeit(name, fn, *args, reps=50):
     return out
 
 
+def real_data(n=300_000):
+    """The production workload: room scene -> preprocess -> binning ->
+    entry_gather, exactly profile_train's pipeline."""
+    from photo_slam_tpu.models import gaussian_model as gm
+    from photo_slam_tpu.ops.binning import bin_gaussians
+    from photo_slam_tpu.ops.camera_math import build_camera_matrices
+    from photo_slam_tpu.ops.preprocess import preprocess, tight_extents
+    from photo_slam_tpu.ops.tiled import entry_gather
+    from bench_room import room_scene
+
+    width, height, fovx = 1200, 680, 1.2
+    pts, cols = room_scene(n)
+    state = gm.create_from_pcd(pts, cols, sh_degree=3, capacity=n)
+    cam = build_camera_matrices(np.eye(3), np.zeros(3), 0.01, 100.0, fovx,
+                                fovx * height / width)
+    p = state.params
+    sc, qu, op = gm.activated(p)
+    prep = jax.jit(lambda: preprocess(
+        p.xyz, sc, qu, cam.viewmatrix, cam.full_proj, cam.cam_center,
+        width, height, float(np.tan(fovx / 2)),
+        float(np.tan(fovx / 2) * height / width), sh_degree=3,
+        shs=gm.sh_features(p), live_mask=state.live))()
+    binning = jax.jit(lambda: bin_gaussians(
+        prep.means2d, prep.depths, prep.radii, prep.visible, width, height,
+        tile=32, max_tiles_per_gaussian=6, max_per_tile=1024,
+        extents=tight_extents(prep.conics, op, prep.radii)))()
+    feat = jnp.concatenate([prep.means2d, prep.conics, op[:, None],
+                            prep.rgb,
+                            jnp.zeros((n, FEAT - 9), jnp.float32)], -1)
+    data = entry_gather(feat, binning.tile_lists, binning.sorted_entries,
+                        binning.sorted_tiles, binning.starts,
+                        binning.tile_counts, binning.entry_counts, 6)
+    gx = -(-width // 32)
+    return data, binning.tile_counts, gx, binning.tile_counts.shape[0]
+
+
 def main():
     gx, gy, k = 38, 22, 1024
     num_tiles = gx * gy
     data, counts = make_data(num_tiles, k, gx)
     cur = jax.jit(lambda d, c: _blend_fwd_call(d, c, gx, num_tiles))
     vec = jax.jit(lambda d, c: blend_vec(d, c, gx, num_tiles))
-    o1 = timeit("current fwd kernel", cur, data, counts)
-    o2 = timeit("vectorized fwd kernel", vec, data, counts)
+    o1 = timeit("current fwd kernel (synthetic)", cur, data, counts)
+    o2 = timeit("vectorized fwd kernel (synthetic)", vec, data, counts)
     for a, b, name in zip(o1, o2, ("color", "T", "nc")):
         d = np.abs(np.asarray(a, np.float32) - np.asarray(b, np.float32))
         print(f"max |d {name}| = {d.max():.3e}")
+
+    data, counts, gx2, nt2 = real_data()
+    print(f"real workload: entries={int(jnp.sum(counts))} tiles={nt2}",
+          flush=True)
+    cur2 = jax.jit(lambda d, c: _blend_fwd_call(d, c, gx2, nt2))
+    vec2 = jax.jit(lambda d, c: blend_vec(d, c, gx2, nt2))
+    r1 = timeit("current fwd kernel (real)", cur2, data, counts)
+    r2 = timeit("vectorized fwd kernel (real)", vec2, data, counts)
+    for a, b, name in zip(r1, r2, ("color", "T", "nc")):
+        d = np.abs(np.asarray(a, np.float32) - np.asarray(b, np.float32))
+        print(f"real max |d {name}| = {d.max():.3e}")
 
 
 if __name__ == "__main__":

@@ -77,11 +77,12 @@ def main():
         data_tiles = entry_gather(feat, binning.tile_lists,
                                   binning.sorted_entries,
                                   binning.sorted_tiles, binning.starts,
-                                  binning.tile_counts, k_dup)
+                                  binning.tile_counts,
+                                  binning.entry_counts, k_dup)
         gather_vjp = jax.jit(lambda f, b: jax.vjp(
             lambda ff: entry_gather(ff, b.tile_lists, b.sorted_entries,
                                     b.sorted_tiles, b.starts, b.tile_counts,
-                                    k_dup), f)[1](data_tiles))
+                                    b.entry_counts, k_dup), f)[1](data_tiles))
         timeit(f"k={k_dup} entry_gather bwd", gather_vjp, feat, binning)
 
         # Image fidelity vs k_dup=12.

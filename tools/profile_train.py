@@ -86,13 +86,13 @@ def main():
 
     gather_fn = jax.jit(lambda f, b: entry_gather(
         f, b.tile_lists, b.sorted_entries, b.sorted_tiles, b.starts,
-        b.tile_counts, k_dup))
+        b.tile_counts, b.entry_counts, k_dup))
     data_tiles = timeit("entry_gather fwd", gather_fn, feat, binning)
 
     gather_vjp = jax.jit(lambda f, b: jax.vjp(
         lambda ff: entry_gather(ff, b.tile_lists, b.sorted_entries,
                                 b.sorted_tiles, b.starts, b.tile_counts,
-                                k_dup), f)[1](data_tiles))
+                                b.entry_counts, k_dup), f)[1](data_tiles))
     timeit("entry_gather bwd (transpose)", gather_vjp, feat, binning)
 
     blend_fn = jax.jit(lambda d, c: pallas_blend(d, c, gx, num_tiles))

@@ -19,10 +19,9 @@ INNER = 256  # elementwise chain length per block
 
 
 def make_kernel(dtype):
-    one = jnp.asarray(1.000001, dtype)
-    half = jnp.asarray(0.5, dtype)
-
     def kernel(x_ref, o_ref):
+        one = jnp.full((), 1.000001, dtype)
+        half = jnp.full((), 0.5, dtype)
         a = x_ref[0]
         b = a * half + one
         for _ in range(INNER):

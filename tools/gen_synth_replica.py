@@ -8,8 +8,15 @@ analytic cylinder intersection. Output layout matches the Photo-SLAM Replica
 packaging (<seq>/results/frame*.jpg depth*.png + traj.txt with 4x4
 camera-to-world rows; reference: examples/replica_rgbd.cpp loader).
 
+Hardening (so the soak is not self-graded on the repo's own clean renders):
+the world is textured from a photographic-statistics atlas (bench.photo_atlas
+— real photo + 1/f noise) instead of uniform random splat colors, and the
+WRITTEN frames carry a sensor model (exposure drift, shot noise, motion blur
+on every third frame — bench.corrupt_frame) by default; pass --clean to get
+the raw renders. GT depth stays analytic and exact, like a dataset's GT.
+
 Usage: PYTHONPATH=/root/repo:$PYTHONPATH python tools/gen_synth_replica.py \
-           <out_dir> [num_frames] [width] [height]
+           <out_dir> [num_frames] [width] [height] [--clean]
 """
 import sys
 from pathlib import Path
@@ -21,6 +28,8 @@ CYL_R = 5.0
 
 
 def cylinder_world(n=60000, seed=3):
+    from bench import photo_atlas, photo_colors
+
     rng = np.random.RandomState(seed)
     phi = rng.uniform(-np.pi, np.pi, n)
     y = rng.uniform(-2.2, 2.2, n)
@@ -30,7 +39,7 @@ def cylinder_world(n=60000, seed=3):
     scales = np.full((n, 3), 0.045, np.float32)
     quats = np.tile(np.array([1.0, 0, 0, 0], np.float32), (n, 1))
     opac = rng.uniform(0.75, 0.98, n).astype(np.float32)
-    cols = rng.uniform(0.0, 1.0, (n, 3)).astype(np.float32)
+    cols = photo_colors(pts, photo_atlas()).astype(np.float32)
     return pts, scales, quats, opac, cols
 
 
@@ -42,10 +51,15 @@ def main():
     from photo_slam_tpu.ops.camera_math import build_camera_matrices
     from photo_slam_tpu.ops.render import RenderSettings, render
 
-    out = Path(sys.argv[1] if len(sys.argv) > 1 else "/tmp/synth_replica")
-    num = int(sys.argv[2]) if len(sys.argv) > 2 else 120
-    width = int(sys.argv[3]) if len(sys.argv) > 3 else 640
-    height = int(sys.argv[4]) if len(sys.argv) > 4 else 480
+    from bench import corrupt_frame
+
+    argv = [a for a in sys.argv[1:] if a != "--clean"]
+    clean = "--clean" in sys.argv[1:]
+    out = Path(argv[0] if len(argv) > 0 else "/tmp/synth_replica")
+    num = int(argv[1]) if len(argv) > 1 else 120
+    width = int(argv[2]) if len(argv) > 2 else 640
+    height = int(argv[3]) if len(argv) > 3 else 480
+    sensor_rng = np.random.RandomState(99)
     # Focal scaled from the Replica camera so the loader's intrinsics
     # rescaling (io/datasets.ReplicaDataset) reproduces it exactly.
     fx = 600.0 * width / 1200.0
@@ -83,7 +97,10 @@ def main():
         res = render(jnp.asarray(pts), jnp.asarray(scales),
                      jnp.asarray(quats), jnp.asarray(opac), mats, settings,
                      jnp.zeros(3), colors_precomp=jnp.asarray(cols))
-        img = (np.clip(np.transpose(np.asarray(res.image), (1, 2, 0)), 0, 1)
+        chw = np.asarray(res.image)
+        if not clean:
+            chw = corrupt_frame(chw, i, sensor_rng)
+        img = (np.clip(np.transpose(chw, (1, 2, 0)), 0, 1)
                * 255).astype(np.uint8)
         cv2.imwrite(str(results / f"frame{i:06d}.jpg"),
                     cv2.cvtColor(img, cv2.COLOR_RGB2BGR),

@@ -169,6 +169,15 @@ def _bwd_kernel(counts_ref, tiles_x_ref, ids_ref, data_ref, final_t_ref,
       dT_N/da_k = -T_N / (1 - a_k)      (for the final_T cotangent / bg term)
     Traversing k = count-1 .. 0 with T reconstructed as T_k = T_{k+1}/(1-a_k).
 
+    dL/da_k only ever consumes the cotangent-weighted dot products
+    g·c_k = gr c_r + gg c_g + gb c_b and g·B_k, so the three per-channel
+    behind-accumulators fold into ONE scalar-per-pixel accumulator
+    Bc_k = g·B_k (update Bc += aT·(g·c)), and the per-channel alpha-gradient
+    terms collapse to dL/da = (g·c)·T_k − (Bc + gT·T_N)/(1−a) — the same
+    math redistributed, ~25% fewer per-entry vector ops than carrying
+    B_{r,g,b} separately (the CUDA backward carries all three plus webs of
+    per-channel FMAs, backward.cu:445-470).
+
     Pixel reductions run on the MXU: the inner loop only stores three
     per-pixel fields per Gaussian to VMEM scratch (dL/dpower, alpha*T,
     dL/dopacity); per group of G Gaussians ONE matmul against a per-tile
@@ -210,12 +219,14 @@ def _bwd_kernel(counts_ref, tiles_x_ref, ids_ref, data_ref, final_t_ref,
                          zerov]).reshape(8, P)
 
     zero = jnp.zeros((PIX_SUB, PIX_LANE), jnp.float32)
-    # Carry: T (behind-reconstruction), B accumulators per channel.
-    init = (T_final, zero, zero, zero)
+    # Carry: T (behind-reconstruction), folded behind-color accumulator
+    # Bc = g.B (see docstring). gT*T_final is entry-independent: hoisted.
+    gTT = gT * T_final
+    init = (T_final, zero)
 
     def gaussian_step(d, k, carry):
         """Returns the three per-pixel fields + updated carry."""
-        T_behind, Br, Bg, Bb = carry
+        T_behind, Bc = carry
         dx = d[0] - px
         dy = d[1] - py
         power = -0.5 * (d[2] * dx * dx + d[4] * dy * dy) - d[3] * dx * dy
@@ -227,16 +238,9 @@ def _bwd_kernel(counts_ref, tiles_x_ref, ids_ref, data_ref, final_t_ref,
 
         # Gradients w.r.t. color and alpha of this Gaussian (per pixel).
         aT = jnp.where(valid, alpha * T_k, 0.0)
-        dC_dalpha_r = T_k * d[6] - Br / one_minus
-        dC_dalpha_g = T_k * d[7] - Bg / one_minus
-        dC_dalpha_b = T_k * d[8] - Bb / one_minus
-        dTN_dalpha = -T_final / one_minus
+        gc = gr * d[6] + gg * d[7] + gb * d[8]      # g . c_k
         dL_dalpha = jnp.where(
-            valid,
-            gr * dC_dalpha_r + gg * dC_dalpha_g + gb * dC_dalpha_b
-            + gT * dTN_dalpha,
-            0.0,
-        )
+            valid, gc * T_k - (Bc + gTT) / one_minus, 0.0)
 
         # alpha = min(0.99, opac * exp(power)): zero grad when clamped.
         exp_p = jnp.exp(power)
@@ -245,10 +249,8 @@ def _bwd_kernel(counts_ref, tiles_x_ref, ids_ref, data_ref, final_t_ref,
         dL_dopac = dL_dalpha * exp_p
         dL_dpower = dL_dopac * d[5]
 
-        Br = Br + aT * d[6]
-        Bg = Bg + aT * d[7]
-        Bb = Bb + aT * d[8]
-        return (dL_dpower, aT, dL_dopac), (T_k, Br, Bg, Bb)
+        Bc = Bc + aT * gc
+        return (dL_dpower, aT, dL_dopac), (T_k, Bc)
 
     num_groups = (count + group - 1) // group
 

@@ -262,7 +262,7 @@ def main():
     from photo_slam_tpu.ops.losses import l1_loss, ssim
     from photo_slam_tpu.ops.preprocess import preprocess, tight_extents
 
-    def timeit(fn, *args, reps=30):
+    def timeit(fn, *args, reps=50):
         out = fn(*args)
         jax.block_until_ready(out)
         t1 = time.time()
@@ -296,7 +296,7 @@ def main():
     _, grads0 = grad_fn(state.params)
     ms_fwd = 1000.0 * dt / iters
     ms_bin = timeit(bin_fn, prep0, gm.activated(state.params)[2])
-    ms_grad = timeit(grad_fn, state.params, reps=10)
+    ms_grad = timeit(grad_fn, state.params, reps=50)
     ms_adam = timeit(adam_fn, state.params, grads0, opt_state)
     stage_ms = {
         "fwd": round(ms_fwd, 2),

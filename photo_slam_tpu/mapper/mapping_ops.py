@@ -103,6 +103,7 @@ def save_stream(path, ops: list[MappingOperation]) -> None:
             k = f"{p}kf{j}_"
             payload[k + "meta"] = np.array([kf.kfid, kf.camera_id,
                                             int(kf.is_loop_kf)])
+            payload[k + "scale"] = np.array(kf.scale)
             payload[k + "quat"] = kf.quat_wxyz
             payload[k + "trans"] = kf.trans
             if kf.image is not None:
@@ -152,6 +153,8 @@ def load_stream(path) -> list[MappingOperation]:
                 aux_image=data.get(k + "aux"),
                 kps_pixel=data.get(k + "kps_pixel"),
                 kps_point_local=data.get(k + "kps_local"),
+                scale=(float(data[k + "scale"])
+                       if k + "scale" in files else 1.0),
             ))
         ops.append(op)
     return ops

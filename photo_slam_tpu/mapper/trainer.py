@@ -406,7 +406,8 @@ class GaussianTrainer:
         masks = jnp.stack([jnp.asarray(k.camera.undistort_mask())
                            for k in kfs])
         r = self.cfg.renderer
-        from photo_slam_tpu.ops.render import default_render_mode
+        from photo_slam_tpu.ops.render import (default_render_mode,
+                                               principal_for)
         mode = default_render_mode()
         k_dup, per_tile = r.caps_for_mode(mode)
         settings = RenderSettings(
@@ -417,6 +418,7 @@ class GaussianTrainer:
             max_tiles_per_gaussian=k_dup,
             max_per_tile=per_tile, tiles_per_chunk=r.tiles_per_chunk,
             mode=mode,
+            principal=principal_for(cam0, cam0.width, cam0.height),
         )
         lrs = self._current_lrs(kfs[0])
         self.state, self.opt_state, metrics = train_step_batched(

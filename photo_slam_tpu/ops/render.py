@@ -146,21 +146,9 @@ def render(
             overflow_capacity=settings.overflow_capacity,
             overflow_compact=settings.overflow_compact,
         )
+        # render_pallas already nets out the continuation coverage (by the
+        # actual residual-light tile subset it ran) from num_overflow.
         clipped, overflow = binning.num_clipped, binning.num_overflow
-        if settings.overflow_passes > 1:
-            extra = (settings.overflow_passes - 1) * settings.overflow_capacity
-            t_sub = settings.overflow_compact
-            rc = binning.raw_counts
-            if 0 < t_sub < rc.shape[0]:
-                # Compact continuation covers only the t_sub deepest tiles.
-                rc_desc = -jnp.sort(-rc)
-                overflow = jnp.sum(jnp.maximum(
-                    rc_desc[:t_sub] - (settings.max_per_tile + extra), 0)
-                ) + jnp.sum(jnp.maximum(
-                    rc_desc[t_sub:] - settings.max_per_tile, 0))
-            else:
-                overflow = jnp.sum(jnp.maximum(
-                    rc - (settings.max_per_tile + extra), 0))
     else:
         out, binning = tiled_mod.render_tiled(
             prep,

@@ -471,8 +471,13 @@ def render_pallas(
                       == order[None, :]).astype(jnp.float32)
 
             def expand(x):
+                # HIGHEST precision: the default TPU bf16 matmul would
+                # re-round the continuation colors/transmittance the blend
+                # kernel computed exactly, and corrupt n_contrib > 256.
                 flat = x.reshape(t_sub, -1)
-                return (onehot @ flat).reshape((num_tiles,) + x.shape[1:])
+                out = jnp.matmul(onehot, flat,
+                                 precision=jax.lax.Precision.HIGHEST)
+                return out.reshape((num_tiles,) + x.shape[1:])
 
             color = color + final_t[:, None] * expand(c_p)
             n_contrib = n_contrib + expand(
@@ -489,6 +494,21 @@ def render_pallas(
             color = color + final_t[:, None] * c_p
             n_contrib = n_contrib + n_p
             final_t = final_t * t_p
+
+    # Exact residual-overflow accounting: credit each tile only with the
+    # continuation capacity it actually received (the compact path covers
+    # the `order` subset chosen above by residual light, NOT the deepest
+    # tiles by raw count).
+    if overflow_passes > 1:
+        extra_cap = (overflow_passes - 1) * overflow_capacity
+        rc = binning.raw_counts
+        per_tile_over = jnp.maximum(rc - max_per_tile, 0)
+        if order is not None:
+            covered = jnp.sum(jnp.minimum(per_tile_over[order], extra_cap))
+            residual = binning.num_overflow - covered
+        else:
+            residual = jnp.sum(jnp.maximum(per_tile_over - extra_cap, 0))
+        binning = binning._replace(num_overflow=residual)
 
     # [T, 3, 8, 128] -> image. Pixel p = r*32 + c, flattened as 8x128.
     def tiles_to_image(x):

@@ -252,7 +252,8 @@ class ViewerServer:
 
         kfs = []
         scene = self.mapper.scene
-        for fid, kf in sorted(scene.keyframes.items()):
+        # list() snapshots: the mapper thread inserts keyframes concurrently.
+        for fid, kf in sorted(list(scene.keyframes.items())):
             twc = se3_inverse(se3_matrix(kf.quat, kf.trans))
             kfs.append({"id": fid, "twc": np.round(twc[:3], 5).tolist()})
 
@@ -260,9 +261,13 @@ class ViewerServer:
         cols = None
         fe = self.frontend
         if fe is not None and getattr(fe, "map", None) is not None:
-            alive = fe.map.alive[:fe.map._n]
-            pts = fe.map.xyz[:fe.map._n][alive].astype(np.float32)
-            cols = fe.map.color[:fe.map._n][alive]
+            # The tracker thread mutates the map while we read it: read _n
+            # once and slice all arrays to that snapshot length so the mask
+            # and data lengths cannot disagree mid-growth.
+            n = int(fe.map._n)
+            alive = np.array(fe.map.alive[:n], copy=True)
+            pts = fe.map.xyz[:n][alive].astype(np.float32)
+            cols = fe.map.color[:n][alive]
         elif getattr(self.mapper, "_sparse_log_pts", None):
             pts = np.concatenate(self.mapper._sparse_log_pts)
             if getattr(self.mapper, "_sparse_log_cols", None):
@@ -275,8 +280,12 @@ class ViewerServer:
 
         edges = []
         if fe is not None and getattr(fe, "map", None) is not None:
-            for kfid in fe.map.keyframes:
-                for other in fe.map.covisible_kfs(kfid)[:4]:
+            for kfid in list(fe.map.keyframes):
+                try:
+                    covis = fe.map.covisible_kfs(kfid)[:4]
+                except (KeyError, IndexError):
+                    continue  # keyframe mutated away under us
+                for other in covis:
                     if other > kfid:
                         edges.append([kfid, other])
         else:

@@ -218,6 +218,10 @@ class TestOpProtocol:
         tracker = GroundTruthTracker(cam, keyframe_every=1, num_keypoints=50)
         ops = [tracker.process_frame(f) for f in frames]
         ops = [o for o in ops if o]
+        # Per-keyframe Sim3 scales (mono loop closures) must survive the
+        # round trip — a replayed stream that resets them to 1.0 diverges
+        # from the live run in _apply_loop_closing.
+        ops[0].keyframes[0].scale = 1.07
         p = tmp_path / "stream.npz"
         save_stream(p, ops)
         ops2 = load_stream(p)
@@ -230,6 +234,8 @@ class TestOpProtocol:
                                        b.keyframes[0].quat_wxyz)
             np.testing.assert_array_equal(a.keyframes[0].image,
                                           b.keyframes[0].image)
+        assert ops2[0].keyframes[0].scale == pytest.approx(1.07)
+        assert ops2[-1].keyframes[0].scale == 1.0
 
 
 class TestMonoDensify:

@@ -376,13 +376,27 @@ def main():
         return render(p.xyz, sc, qu, op, cam_i, settings, bg,
                       shs=gm.sh_features(p), live_mask=l).image
 
-    def render_with(st, cam_i):
-        return _render_cam(st.params, st.live, cam_i)
+    # Scoring renders go through the EXACT overflow-continuation path: the
+    # 1-pass production config's ~32 dB-vs-exact tile-capacity error would
+    # otherwise cap the measurable mapping PSNR.
+    exact_settings = settings._replace(overflow_passes=2,
+                                       overflow_capacity=512)
+
+    @jax.jit
+    def _render_cam_exact(p, l, cam_i):
+        sc, qu, op = gm.activated(p)
+        return render(p.xyz, sc, qu, op, cam_i, exact_settings, bg,
+                      shs=gm.sh_features(p), live_mask=l).image
+
+    def render_with(st, cam_i, exact=False):
+        fn = _render_cam_exact if exact else _render_cam
+        return fn(st.params, st.live, cam_i)
 
     crng = np.random.RandomState(7)
     gt_views = [jnp.asarray(corrupt_frame(np.asarray(render_with(
-        gt_state, c)), i, crng)) for i, c in enumerate(views)]
-    gt_tests = [jnp.asarray(render_with(gt_state, c)) for c in test_cams]
+        gt_state, c, exact=True)), i, crng)) for i, c in enumerate(views)]
+    gt_tests = [jnp.asarray(render_with(gt_state, c, exact=True))
+                for c in test_cams]
 
     # Fresh model: subsampled noisy geometry, gray colors; densification
     # fills in the rest (headroom cap - m_sub slots at fixed capacity, so
@@ -431,9 +445,9 @@ def main():
                 break
     jax.block_until_ready(m["loss"])
     quality_wall = time.time() - t0
-    psnrs = [float(psnr_fn(render_with(tr_state, c), gt))
+    psnrs = [float(psnr_fn(render_with(tr_state, c, exact=True), gt))
              for c, gt in zip(test_cams, gt_tests)]
-    ssims = [float(ssim(render_with(tr_state, c), gt))
+    ssims = [float(ssim(render_with(tr_state, c, exact=True), gt))
              for c, gt in zip(test_cams, gt_tests)]
     mapping_psnr = float(np.mean(psnrs))
     mapping_ssim = float(np.mean(ssims))

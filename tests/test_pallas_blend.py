@@ -223,6 +223,68 @@ class TestOverflowContinuation:
         np.testing.assert_allclose(np.asarray(g_comp) / scale,
                                    np.asarray(g_full) / scale, atol=3e-3)
 
+    def test_compact_partial_coverage_overflow_accounting(self):
+        """When the compact subset is SMALLER than the overflowed tile set,
+        num_overflow must equal the brute-force uncovered-entry count for
+        the tiles the continuation actually ran (the residual-light ranked
+        subset render_pallas picks), not a top-by-raw-count estimate."""
+        rng = np.random.RandomState(9)
+        n = 900
+        means = np.stack([rng.uniform(-1.8, 1.8, n),
+                          rng.uniform(-1.8, 1.8, n),
+                          rng.uniform(3, 8, n)], 1).astype(np.float32)
+        scales = rng.uniform(0.05, 0.2, (n, 3)).astype(np.float32)
+        quats = rng.randn(n, 4).astype(np.float32)
+        quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+        opac = jnp.asarray(rng.uniform(0.3, 0.95, n).astype(np.float32))
+        colors = jnp.asarray(rng.uniform(0.05, 0.95, (n, 3))
+                             .astype(np.float32))
+        c = cam()
+        bg = jnp.zeros(3)
+        kmax, cap = 96, 64  # starve capacity AND the continuation
+        s1 = self._settings(kmax)
+        s_comp = self._settings(kmax, passes=2, cap=cap)._replace(
+            overflow_compact=1)
+
+        def run(s):
+            return render(jnp.asarray(means), jnp.asarray(scales),
+                          jnp.asarray(quats), opac, c, s, bg,
+                          colors_precomp=colors)
+
+        starved = run(s1)
+        # Need >= 2 overflowed tiles so compact=1 leaves residual.
+        from photo_slam_tpu.ops import tiled as tiled_mod
+        from photo_slam_tpu.ops.preprocess import preprocess as prep_fn
+        comp = run(s_comp)
+        assert int(starved.num_overflow) > int(comp.num_overflow) > 0
+        # Brute-force: rank overflowed tiles by residual light (what
+        # render_pallas covers), net out min(over, extra) for the best one.
+        ft = np.asarray(starved.final_T)
+        over_img = int(starved.num_overflow)
+        # Recompute per-tile overflow from a direct binning call.
+        from photo_slam_tpu.ops.binning import bin_gaussians
+        from photo_slam_tpu.ops.preprocess import tight_extents
+        import photo_slam_tpu.models.gaussian_model  # noqa: F401
+        pr = prep_fn(jnp.asarray(means), jnp.asarray(scales),
+                     jnp.asarray(quats), c.viewmatrix, c.full_proj,
+                     c.cam_center, W, H, float(np.tan(FOVX / 2)),
+                     float(np.tan(FOVY / 2)), sh_degree=0,
+                     colors_precomp=colors)
+        b = bin_gaussians(pr.means2d, pr.depths, pr.radii, pr.visible, W, H,
+                          tile=32, max_tiles_per_gaussian=16,
+                          max_per_tile=kmax,
+                          extents=tight_extents(pr.conics, opac, pr.radii))
+        rc = np.asarray(b.raw_counts)
+        over = np.maximum(rc - kmax, 0)
+        gx = (W + 31) // 32
+        t_res = np.array([
+            ft[ty * 32:(ty + 1) * 32, tx * 32:(tx + 1) * 32].sum()
+            for ty in range((H + 31) // 32) for tx in range(gx)])
+        score = np.where(over > 0, t_res, -1.0)
+        covered_tile = int(np.argmax(score))
+        expect = over_img - min(over[covered_tile], cap)
+        assert int(comp.num_overflow) == expect
+
     def test_production_config_psnr_floor(self):
         """Regression floor for the production render config (miniature
         analog of bench.py's psnr_2pass_vs_exact_db): a SURFACE scene (a

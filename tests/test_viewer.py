@@ -1,5 +1,6 @@
 """Web viewer server: endpoints against a live (small) mapper."""
 import json
+import urllib.error
 import urllib.request
 
 import numpy as np
@@ -97,6 +98,53 @@ class TestViewer:
         assert len(m["colors"]) == 20
         assert m["edges"] == [[0, 1]]
         assert m["fovx"] > 0
+
+    def test_frame_endpoint(self, viewer):
+        """SLAM-frame panel: 404 with no tracker, a keypoint-annotated PNG
+        once a frontend has published last_frame_vis (the reference's
+        SLAM-frame view, imgui_viewer.cpp:341-360)."""
+        srv, _ = viewer
+        try:
+            _get(srv, "/frame")
+            assert False, "expected 404 with no frontend"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+
+        class FakeFrontend:
+            last_frame_vis = (np.random.RandomState(0)
+                              .rand(3, 48, 64).astype(np.float32),
+                              np.array([[10.0, 20.0], [30.0, 8.0]]))
+
+        srv.frontend = FakeFrontend()
+        try:
+            code, body, ctype = _get(srv, "/frame")
+            assert code == 200 and ctype == "image/png"
+            assert body[:8] == b"\x89PNG\r\n\x1a\n"
+        finally:
+            srv.frontend = None
+
+    def test_map_endpoint_with_mutating_frontend(self, viewer):
+        """map_geometry must tolerate a tracker mutating its map between
+        reads (the live-threaded case): simulate with a map whose _n grows
+        after the first read."""
+        srv, _ = viewer
+        from photo_slam_tpu.tracking.local_map import LocalMap
+
+        lm = LocalMap()
+        lm.add_points(np.random.rand(7, 3),
+                      np.zeros((7, 32), np.uint8),
+                      np.random.rand(7, 3).astype(np.float32), first_kf=0)
+
+        class FE:
+            map = lm
+
+        srv.frontend = FE()
+        try:
+            code, body, _ = _get(srv, "/map")
+            m = json.loads(body)
+            assert code == 200 and len(m["points"]) == 7
+        finally:
+            srv.frontend = None
 
     def test_params_roundtrip(self, viewer):
         srv, mapper = viewer

@@ -492,4 +492,10 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # transient axon-relay errors happen; retry once
+        log(f"[bench] first attempt failed ({type(e).__name__}: {e}); "
+            "retrying once")
+        time.sleep(10)
+        main()

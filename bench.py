@@ -28,10 +28,45 @@ Extra diagnostics go to stderr; stdout carries exactly the one JSON line.
 from __future__ import annotations
 
 import json
+import os
+import signal
 import sys
 import time
 
 import numpy as np
+
+# ---- Whole-run deadline (VERDICT r3 item 1). The driver runs bench.py under
+# an outer timeout (~25 min observed); round 3 overran it (rc=124, no JSON).
+# Every stage below checks remaining() and the quality loop budgets itself so
+# the ONE JSON line always lands on stdout before the window closes.
+T_START = time.time()
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "1350"))
+_EMITTED = False
+_RESULT: dict = {}
+
+
+def remaining() -> float:
+    return DEADLINE_S - (time.time() - T_START)
+
+
+def emit():
+    """Print the single JSON result line (idempotent)."""
+    global _EMITTED
+    if _EMITTED or not _RESULT:
+        return
+    _EMITTED = True
+    print(json.dumps(_RESULT), flush=True)
+
+
+def _on_term(signum, frame):  # last-resort: emit whatever we have
+    log(f"[bench] signal {signum} received at {time.time() - T_START:.0f}s; "
+        "emitting partial result")
+    emit()
+    os._exit(0)
+
+
+signal.signal(signal.SIGTERM, _on_term)
+signal.signal(signal.SIGINT, _on_term)
 
 
 def log(*a):
@@ -204,6 +239,16 @@ def main():
     log(f"[bench] {iters} renders in {dt:.3f}s -> {fps:.2f} FPS "
         f"({1000 * dt / iters:.1f} ms/frame)")
 
+    # Seed the result as soon as we have a headline-capable number so a
+    # deadline signal still emits something meaningful.
+    _RESULT.update({
+        "metric": "render_fps_1200x680_300k", "value": round(fps, 2),
+        "unit": "fps", "vs_baseline": round(fps / 30.0, 3),
+        "extra": {"fps_1pass": round(fps, 2), "binning_clipped": clipped,
+                  "binning_overflow": overflow},
+    })
+    extra = _RESULT["extra"]
+
     # Overflow error bound: render with enough per-tile capacity for
     # overflow=0 and measure the production config's PSNR against it, plus
     # the 2-pass overflow-continuation option (exact continuation of
@@ -229,6 +274,14 @@ def main():
         psnr_2pass = float(psnr_fn(img2, img_exact))
         log(f"[bench] 2-pass overflow continuation: {fps_2pass:.2f} FPS, "
             f"overflow={int(ov3)}, PSNR vs exact = {psnr_2pass:.2f} dB")
+        extra["psnr_vs_exact_db"] = round(psnr_vs_exact, 2)
+        extra["fps_2pass_overflow"] = round(fps_2pass, 2)
+        extra["psnr_2pass_vs_exact_db"] = round(psnr_2pass, 2)
+        if psnr_2pass >= 45.0:
+            _RESULT.update({
+                "metric": "render_fps_1200x680_300k_exact",
+                "value": round(fps_2pass, 2),
+                "vs_baseline": round(fps_2pass / 30.0, 3)})
 
     # Train throughput: full step (render/loss/grad/stats/Adam).
     opt_state = optim.init_adam(state.params)
@@ -254,6 +307,7 @@ def main():
     tps = k / (time.time() - t0)
     log(f"[bench] train_step: {tps:.2f} iters/s "
         f"({1000 / tps:.1f} ms/iter) N={n}")
+    extra["train_iters_per_sec"] = round(tps, 2)
 
     # Batched multi-view step (user-reachable via --batch N in the online
     # apps): per-VIEW cost amortizes the per-step fixed work (preprocess,
@@ -261,6 +315,8 @@ def main():
     # effective online training throughput above the 1-view step rate.
     views_per_sec_b4 = None
     try:
+        if remaining() < 600:
+            raise RuntimeError(f"deadline ({remaining():.0f}s left)")
         from photo_slam_tpu.ops.camera_math import CameraMatrices
         from photo_slam_tpu.parallel.sharding import train_step_batched
         B = 4
@@ -285,12 +341,15 @@ def main():
         views_per_sec_b4 = B * k / (time.time() - t0)
         log(f"[bench] train_step_batched B={B}: {views_per_sec_b4:.2f} "
             f"views/s ({1000 * B / views_per_sec_b4:.1f} ms/step)")
+        extra["train_views_per_sec_b4"] = round(views_per_sec_b4, 2)
         del bstate, bopt
     except Exception as e:  # pragma: no cover - diagnostic only
         log(f"[bench] batched step skipped: {e}")
 
     # ---- Stage breakdown: attribute the train step (fwd / bwd / binning /
     # adam) so throughput regressions are actionable (VERDICT r2 item 2).
+    # Compiling the 4 stage programs costs ~2 min; skipped when the deadline
+    # would leave the quality fit too little time.
     from photo_slam_tpu.models.densify import densify_and_prune  # noqa: F401
     from photo_slam_tpu.ops.binning import bin_gaussians
     from photo_slam_tpu.ops.losses import l1_loss, ssim
@@ -314,31 +373,36 @@ def main():
         return (0.8 * l1_loss(res.image, gt)
                 + 0.2 * (1.0 - ssim(res.image, gt)))
 
-    prep_fn = jax.jit(lambda p: preprocess(
-        p.xyz, gm.activated(p)[0], gm.activated(p)[1], cam.viewmatrix,
-        cam.full_proj, cam.cam_center, width, height, settings.tan_fovx,
-        settings.tan_fovy, sh_degree=3, shs=gm.sh_features(p),
-        live_mask=live0))
-    prep0 = prep_fn(state.params)
-    bin_fn = jax.jit(lambda pr, op_: bin_gaussians(
-        pr.means2d, pr.depths, pr.radii, pr.visible, width, height,
-        tile=32, max_tiles_per_gaussian=settings.max_tiles_per_gaussian,
-        max_per_tile=settings.max_per_tile,
-        extents=tight_extents(pr.conics, op_, pr.radii)))
-    grad_fn = jax.jit(jax.value_and_grad(loss_of))
-    adam_fn = jax.jit(lambda p, g, o: optim.adam_step(p, g, o, lrs, live0))
-    _, grads0 = grad_fn(state.params)
-    ms_fwd = 1000.0 * dt / iters
-    ms_bin = timeit(bin_fn, prep0, gm.activated(state.params)[2])
-    ms_grad = timeit(grad_fn, state.params, reps=50)
-    ms_adam = timeit(adam_fn, state.params, grads0, opt_state)
-    stage_ms = {
-        "fwd": round(ms_fwd, 2),
-        "bwd": round(max(ms_grad - ms_fwd, 0.0), 2),  # loss fwd+bwd - fwd
-        "binning": round(ms_bin, 2),                  # (included in fwd)
-        "adam": round(ms_adam, 2),
-    }
-    log(f"[bench] stage_ms: {stage_ms} (loss fwd+bwd {ms_grad:.1f} ms)")
+    if remaining() >= 540:
+        prep_fn = jax.jit(lambda p: preprocess(
+            p.xyz, gm.activated(p)[0], gm.activated(p)[1], cam.viewmatrix,
+            cam.full_proj, cam.cam_center, width, height, settings.tan_fovx,
+            settings.tan_fovy, sh_degree=3, shs=gm.sh_features(p),
+            live_mask=live0))
+        prep0 = prep_fn(state.params)
+        bin_fn = jax.jit(lambda pr, op_: bin_gaussians(
+            pr.means2d, pr.depths, pr.radii, pr.visible, width, height,
+            tile=32, max_tiles_per_gaussian=settings.max_tiles_per_gaussian,
+            max_per_tile=settings.max_per_tile,
+            extents=tight_extents(pr.conics, op_, pr.radii)))
+        grad_fn = jax.jit(jax.value_and_grad(loss_of))
+        adam_fn = jax.jit(
+            lambda p, g, o: optim.adam_step(p, g, o, lrs, live0))
+        _, grads0 = grad_fn(state.params)
+        ms_fwd = 1000.0 * dt / iters
+        ms_bin = timeit(bin_fn, prep0, gm.activated(state.params)[2])
+        ms_grad = timeit(grad_fn, state.params, reps=50)
+        ms_adam = timeit(adam_fn, state.params, grads0, opt_state)
+        stage_ms = {
+            "fwd": round(ms_fwd, 2),
+            "bwd": round(max(ms_grad - ms_fwd, 0.0), 2),  # loss fwd+bwd-fwd
+            "binning": round(ms_bin, 2),                  # (incl. in fwd)
+            "adam": round(ms_adam, 2),
+        }
+        log(f"[bench] stage_ms: {stage_ms} (loss fwd+bwd {ms_grad:.1f} ms)")
+        extra["stage_ms"] = stage_ms
+    else:
+        log(f"[bench] stage breakdown skipped ({remaining():.0f}s left)")
 
     # ---- Quality north star, hardened (VERDICT r2 item 1): the GT world is
     # textured with photographic-statistics images (real photo + 1/f noise),
@@ -349,7 +413,6 @@ def main():
     # are unreachable from this machine (no egress), so this is the least
     # self-graded protocol available: the model never sees its own targets
     # uncorrupted, and the texture statistics are not its own.
-    import os
     atlas = photo_atlas()
     gt_cols = photo_colors(pts, atlas)
     gt_state = gm.create_from_pcd(pts, gt_cols, sh_degree=3, capacity=cap)
@@ -398,6 +461,11 @@ def main():
     gt_tests = [jnp.asarray(render_with(gt_state, c, exact=True))
                 for c in test_cams]
 
+    # Pre-compile the held-out scorer so post-loop scoring costs no compile
+    # (the loop budgets only score_reserve_s for it).
+    score_fn = jax.jit(lambda a, b: (psnr_fn(a, b), ssim(a, b)))
+    jax.block_until_ready(score_fn(gt_tests[0], gt_tests[0]))
+
     # Fresh model: subsampled noisy geometry, gray colors; densification
     # fills in the rest (headroom cap - m_sub slots at fixed capacity, so
     # the compiled step programs are reused).
@@ -414,7 +482,9 @@ def main():
     extent = 1.1 * float(np.max(np.linalg.norm(
         centers - centers.mean(0), axis=1)))
     protocol_iters = int(os.environ.get("BENCH_QUALITY_ITERS", "30000"))
-    budget_s = float(os.environ.get("BENCH_QUALITY_BUDGET_S", "1500"))
+    # Reserve time for the final held-out scoring renders (compiled already,
+    # but ~10 exact renders + host transfers) plus JSON emission.
+    score_reserve_s = 45.0
     key = jax.random.PRNGKey(0)
     t0 = time.time()
     i = 0
@@ -435,67 +505,60 @@ def main():
                 max_screen_size=(20 if i > 3000 else 0), percent_dense=0.01)
         if i % 3000 == 0 and i + 1500 < protocol_iters:
             tr_state, tr_opt = opacity_reset_step(tr_state, tr_opt)
-        if i % 2000 == 0:
+        if i % 250 == 0:
             jax.block_until_ready(m["loss"])
-            log(f"[bench] quality iter {i}: loss {float(m['loss']):.4f} "
-                f"live {int(gm.num_live(tr_state))} "
-                f"({time.time() - t0:.0f}s)")
-            if time.time() - t0 > budget_s:
-                log("[bench] quality budget reached, stopping early")
+            if i % 2000 == 0:
+                # In-run quality telemetry: a cheap held-out PSNR makes
+                # convergence regressions visible before the final scoring.
+                ho = float(score_fn(render_with(tr_state, test_cams[0],
+                                                exact=True), gt_tests[0])[0])
+                log(f"[bench] quality iter {i}: loss "
+                    f"{float(m['loss']):.4f} held-out {ho:.2f} dB "
+                    f"live {int(gm.num_live(tr_state))} "
+                    f"({time.time() - t0:.0f}s)")
+            if remaining() < score_reserve_s:
+                log(f"[bench] deadline approaching "
+                    f"({remaining():.0f}s left), stopping quality fit")
                 break
     jax.block_until_ready(m["loss"])
     quality_wall = time.time() - t0
-    psnrs = [float(psnr_fn(render_with(tr_state, c, exact=True), gt))
-             for c, gt in zip(test_cams, gt_tests)]
-    ssims = [float(ssim(render_with(tr_state, c, exact=True), gt))
-             for c, gt in zip(test_cams, gt_tests)]
-    mapping_psnr = float(np.mean(psnrs))
-    mapping_ssim = float(np.mean(ssims))
+    scores = [score_fn(render_with(tr_state, c, exact=True), gt)
+              for c, gt in zip(test_cams, gt_tests)]
+    mapping_psnr = float(np.mean([float(p) for p, _ in scores]))
+    mapping_ssim = float(np.mean([float(s) for _, s in scores]))
     log(f"[bench] quality: {i} iters in {quality_wall:.1f}s, held-out "
         f"PSNR {mapping_psnr:.2f} dB SSIM {mapping_ssim:.4f} "
         f"live {int(gm.num_live(tr_state))}")
 
-    # Headline: the EXACT (or >=45 dB vs exact) render path (VERDICT r2
-    # item 4) — the 2-pass compact overflow continuation when the 1-pass
-    # config overflows, else the 1-pass render itself.
-    if psnr_2pass is not None and psnr_2pass >= 45.0:
-        headline, head_fps = "render_fps_1200x680_300k_exact", fps_2pass
-    else:
-        headline, head_fps = "render_fps_1200x680_300k", fps
-
-    print(json.dumps({
-        "metric": headline,
-        "value": round(head_fps, 2),
-        "unit": "fps",
-        "vs_baseline": round(head_fps / 30.0, 3),
-        "extra": {
-            "fps_1pass": round(fps, 2),
-            "train_iters_per_sec": round(tps, 2),
-            "train_views_per_sec_b4": (None if views_per_sec_b4 is None
-                                       else round(views_per_sec_b4, 2)),
-            "stage_ms": stage_ms,
-            "binning_clipped": clipped,
-            "binning_overflow": overflow,
-            "psnr_vs_exact_db": (None if psnr_vs_exact is None
-                                 else round(psnr_vs_exact, 2)),
-            "fps_2pass_overflow": (None if fps_2pass is None
-                                   else round(fps_2pass, 2)),
-            "psnr_2pass_vs_exact_db": (None if psnr_2pass is None
-                                       else round(psnr_2pass, 2)),
-            "mapping_psnr_db": round(mapping_psnr, 2),
-            "mapping_ssim": round(mapping_ssim, 4),
-            "quality_iters": i,
-            "quality_protocol_iters": protocol_iters,
-            "quality_gaussians": int(gm.num_live(tr_state)),
-        },
-    }))
+    extra.update({
+        "mapping_psnr_db": round(mapping_psnr, 2),
+        "mapping_ssim": round(mapping_ssim, 4),
+        "quality_iters": i,
+        "quality_protocol_iters": protocol_iters,
+        "quality_gaussians": int(gm.num_live(tr_state)),
+        "wall_s": round(time.time() - T_START, 1),
+    })
+    # Headline: the EXACT (>=45 dB vs exact) render path when it qualifies
+    # (already promoted above), else the 1-pass render.
+    emit()
 
 
 if __name__ == "__main__":
     try:
         main()
     except Exception as e:  # transient axon-relay errors happen; retry once
+        if _EMITTED:
+            raise
         log(f"[bench] first attempt failed ({type(e).__name__}: {e}); "
-            "retrying once")
-        time.sleep(10)
-        main()
+            f"retrying once ({remaining():.0f}s left)")
+        if remaining() < 120 and _RESULT:
+            emit()  # no time for a retry: ship what we have
+        else:
+            time.sleep(5)
+            try:
+                main()
+            except Exception as e2:
+                log(f"[bench] retry failed ({type(e2).__name__}: {e2})")
+                emit()  # best-effort partial result
+                if not _RESULT:
+                    raise

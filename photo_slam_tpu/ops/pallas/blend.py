@@ -157,9 +157,8 @@ def _fwd_kernel(counts_ref, tiles_x_ref, ids_ref, data_ref, color_ref, t_ref,
 
 
 def _bwd_kernel(counts_ref, tiles_x_ref, ids_ref, data_ref, final_t_ref,
-                n_ref, g_color_ref, g_t_ref, d_data_ref, p_scr, w_scr,
-                o_scr):
-    """Back-to-front gradient accumulation
+                n_ref, g_color_ref, g_t_ref, d_data_ref):
+    """Back-to-front gradient accumulation, group-VECTORIZED
     (reference: cuda_rasterizer/backward.cu:398-557).
 
     Derivation: C = sum_k c_k a_k T_k (+ T_N * bg outside the kernel),
@@ -167,113 +166,124 @@ def _bwd_kernel(counts_ref, tiles_x_ref, ids_ref, data_ref, final_t_ref,
       dC/dc_k = a_k T_k
       dC/da_k = T_k c_k - B_k / (1 - a_k)
       dT_N/da_k = -T_N / (1 - a_k)      (for the final_T cotangent / bg term)
-    Traversing k = count-1 .. 0 with T reconstructed as T_k = T_{k+1}/(1-a_k).
+    Traversing groups of G entries back-to-front; WITHIN a group everything
+    is vectorized as [G, 1024] arrays (the same shape discipline as the
+    forward kernel): the serial per-entry carries become
+      T_k  = T_in / suffix_prod_{j>=k}(1-a_j)   (suffix-product ladder)
+      Bc_k = Bc_in + suffix_sum_{j>k}(aT_j g.c_j) (suffix-sum ladder)
+    via log2(G) pltpu.roll doubling steps. Reconstruction by division is
+    safe: the forward stops contributing at T < 1e-4, so every
+    participating T is in [~1e-6, 1] and group suffix products never
+    underflow. Masked entries carry om = 1 (exactly the serial "T unchanged
+    when invalid" semantics).
 
     dL/da_k only ever consumes the cotangent-weighted dot products
     g·c_k = gr c_r + gg c_g + gb c_b and g·B_k, so the three per-channel
     behind-accumulators fold into ONE scalar-per-pixel accumulator
-    Bc_k = g·B_k (update Bc += aT·(g·c)), and the per-channel alpha-gradient
-    terms collapse to dL/da = (g·c)·T_k − (Bc + gT·T_N)/(1−a) — the same
-    math redistributed, ~25% fewer per-entry vector ops than carrying
-    B_{r,g,b} separately (the CUDA backward carries all three plus webs of
-    per-channel FMAs, backward.cu:445-470).
+    Bc_k = g·B_k, and g·c is ONE [G,3]x[3,P] MXU matmul per group.
 
-    Pixel reductions run on the MXU: the inner loop only stores three
-    per-pixel fields per Gaussian to VMEM scratch (dL/dpower, alpha*T,
-    dL/dopacity); per group of G Gaussians ONE matmul against a per-tile
-    moment basis {1, x, y, x^2, xy, y^2, g_r, g_g, g_b} (tile-LOCAL pixel
-    coords, so the quadratic moments stay small and the expansion of
-    (mx-px)^2 into moments does not cancel catastrophically) yields all nine
-    gradient components — replacing 9 serial cross-lane reductions per
-    Gaussian (the CUDA backward's warp reductions + atomicAdd,
-    backward.cu:398-557).
+    Pixel reductions run on the MXU: per group of G Gaussians the three
+    [G, P] field arrays (dL/dpower, alpha*T, dL/dopacity) feed matmuls
+    against a per-tile moment basis {1, x, y, x^2, xy, y^2, g_r, g_g, g_b}
+    (tile-LOCAL pixel coords, so the quadratic moments stay small and the
+    expansion of (mx-px)^2 into moments does not cancel catastrophically)
+    yielding all nine gradient components — replacing the CUDA backward's
+    warp reductions + atomicAdd (backward.cu:398-557).
     """
     g = pl.program_id(0)
     count = counts_ref[g]
     tiles_x = tiles_x_ref[0]
     t = ids_ref[g]
-    px, py = _pixel_coords(t, tiles_x)
-    # Tile-local pixel coordinates (0..TILE_PS): the moment basis.
+    group = _exit_check()
+    P = PIX_SUB * PIX_LANE
+    # Tile-local pixel coordinates (0..TILE_PS): the moment basis. All
+    # per-pixel arrays live as [1, P] rows broadcasting against [G, P].
+    pix = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    lx = (pix % TILE_PS).astype(jnp.float32)
+    ly = (pix // TILE_PS).astype(jnp.float32)
     tx = (t % tiles_x).astype(jnp.float32) * TILE_PS
     ty = (t // tiles_x).astype(jnp.float32) * TILE_PS
-    lx = px - tx
-    ly = py - ty
+    pxv = tx + lx
+    pyv = ty + ly
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (group, P), 0)
 
-    gr = g_color_ref[0, 0]
-    gg = g_color_ref[0, 1]
-    gb = g_color_ref[0, 2]
-    gT = g_t_ref[0]
-    T_final = final_t_ref[0]
-    n_contrib = n_ref[0]
+    gr = g_color_ref[0, 0].reshape(1, P)
+    gg = g_color_ref[0, 1].reshape(1, P)
+    gb = g_color_ref[0, 2].reshape(1, P)
+    gT = g_t_ref[0].reshape(1, P)
+    T_final = final_t_ref[0].reshape(1, P)
+    n_contrib = n_ref[0].reshape(1, P)
 
-    group = _exit_check()
     # Moment basis [8, P]: rows (1, lx, ly, lx^2, lx*ly, ly^2, 0, 0) and
-    # color basis rows (gr, gg, gb, 1, 0, 0, 0, 0), both flattened over the
-    # pixel tile for the NT matmuls below.
-    P = PIX_SUB * PIX_LANE
-    one = jnp.ones((PIX_SUB, PIX_LANE), jnp.float32)
-    zerov = jnp.zeros((PIX_SUB, PIX_LANE), jnp.float32)
-    basis_m = jnp.stack([one, lx, ly, lx * lx, lx * ly, ly * ly, zerov,
-                         zerov]).reshape(8, P)
-    basis_c = jnp.stack([gr, gg, gb, one, zerov, zerov, zerov,
-                         zerov]).reshape(8, P)
+    # color basis rows (gr, gg, gb, 1, 0, 0, 0, 0).
+    one = jnp.ones((1, P), jnp.float32)
+    zerov = jnp.zeros((1, P), jnp.float32)
+    basis_m = jnp.concatenate([one, lx, ly, lx * lx, lx * ly, ly * ly,
+                               zerov, zerov], axis=0)
+    basis_c = jnp.concatenate([gr, gg, gb, one, zerov, zerov, zerov,
+                               zerov], axis=0)
 
-    zero = jnp.zeros((PIX_SUB, PIX_LANE), jnp.float32)
-    # Carry: T (behind-reconstruction), folded behind-color accumulator
-    # Bc = g.B (see docstring). gT*T_final is entry-independent: hoisted.
+    # Carry: T_in = T_{k0+G} (transmittance before the tail), Bc_in = g.B
+    # accumulated over entries already processed (indices >= k0+G).
+    # gT*T_final is entry-independent: hoisted.
     gTT = gT * T_final
-    init = (T_final, zero)
-
-    def gaussian_step(d, k, carry):
-        """Returns the three per-pixel fields + updated carry."""
-        T_behind, Bc = carry
-        dx = d[0] - px
-        dy = d[1] - py
-        power = -0.5 * (d[2] * dx * dx + d[4] * dy * dy) - d[3] * dx * dy
-        alpha = jnp.minimum(ALPHA_MAX, d[5] * jnp.exp(power))
-        valid = (power <= 0.0) & (alpha >= ALPHA_MIN) & (k < n_contrib) & (
-            k < count)
-        one_minus = jnp.maximum(1.0 - alpha, 0.01)  # alpha <= 0.99
-        T_k = jnp.where(valid, T_behind / one_minus, T_behind)
-
-        # Gradients w.r.t. color and alpha of this Gaussian (per pixel).
-        aT = jnp.where(valid, alpha * T_k, 0.0)
-        gc = gr * d[6] + gg * d[7] + gb * d[8]      # g . c_k
-        dL_dalpha = jnp.where(
-            valid, gc * T_k - (Bc + gTT) / one_minus, 0.0)
-
-        # alpha = min(0.99, opac * exp(power)): zero grad when clamped.
-        exp_p = jnp.exp(power)
-        not_clamped = d[5] * exp_p < ALPHA_MAX
-        dL_dalpha = jnp.where(not_clamped, dL_dalpha, 0.0)
-        dL_dopac = dL_dalpha * exp_p
-        dL_dpower = dL_dopac * d[5]
-
-        Bc = Bc + aT * gc
-        return (dL_dpower, aT, dL_dopac), (T_k, Bc)
+    init = (T_final, zerov)
 
     num_groups = (count + group - 1) // group
+    nt = (((1,), (1,)), ((), ()))
 
     def group_body(gi, carry):
+        T_in, Bc_in = carry
         k0 = (num_groups - 1 - gi) * group
-        rows = data_ref[0, pl.ds(k0, group)]
-        for i in reversed(range(group)):
-            (f_p, f_w, f_o), carry = gaussian_step(rows[i], k0 + i, carry)
-            p_scr[i] = f_p
-            w_scr[i] = f_w
-            o_scr[i] = f_o
+        rows = data_ref[0, pl.ds(k0, group)]          # [G, 16]
+        dx = rows[:, 0:1] - pxv
+        dy = rows[:, 1:2] - pyv
+        power = (-0.5 * (rows[:, 2:3] * dx * dx + rows[:, 4:5] * dy * dy)
+                 - rows[:, 3:4] * dx * dy)
+        exp_p = jnp.exp(power)
+        raw_alpha = rows[:, 5:6] * exp_p
+        alpha = jnp.minimum(ALPHA_MAX, raw_alpha)
+        valid = ((power <= 0.0) & (alpha >= ALPHA_MIN)
+                 & (rowi + k0 < n_contrib) & (rowi + k0 < count))
+        om = jnp.where(valid, jnp.maximum(1.0 - alpha, 0.01), 1.0)
 
-        # MXU reduction: moments[G,8] = P_fields @ basis^T over pixels.
-        nt = (((1,), (1,)), ((), ()))
+        # Inclusive suffix product S_k = prod_{j>=k} om_j (roll-up ladder).
+        S = om
+        shift = 1
+        while shift < group:
+            S = S * jnp.where(rowi < group - shift,
+                              pltpu.roll(S, group - shift, 0), 1.0)
+            shift *= 2
+        T_k = T_in / S                                # T before entry k
+        aT = jnp.where(valid, alpha * T_k, 0.0)
+        # g.c per entry: ONE MXU matmul [G,3] x [3,P].
+        gc = jax.lax.dot_general(
+            rows[:, 6:9], jnp.concatenate([gr, gg, gb], axis=0),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        u = aT * gc
+        # Inclusive suffix sum, then exclusive: Bex_k = sum_{j>k} u_j.
+        U = u
+        shift = 1
+        while shift < group:
+            U = U + jnp.where(rowi < group - shift,
+                              pltpu.roll(U, group - shift, 0), 0.0)
+            shift *= 2
+        Bc = Bc_in + U - u
+
+        dL_dalpha = jnp.where(valid & (raw_alpha < ALPHA_MAX),
+                              gc * T_k - (Bc + gTT) / om, 0.0)
+        dL_dopac = dL_dalpha * exp_p
+        dL_dpower = dL_dopac * rows[:, 5:6]
+
+        # MXU reduction: moments[G,8] = fields @ basis^T over pixels.
         moments = jax.lax.dot_general(
-            p_scr[...].reshape(group, P), basis_m, nt,
-            preferred_element_type=jnp.float32)
+            dL_dpower, basis_m, nt, preferred_element_type=jnp.float32)
         cw = jax.lax.dot_general(
-            w_scr[...].reshape(group, P), basis_c, nt,
-            preferred_element_type=jnp.float32)
+            aT, basis_c, nt, preferred_element_type=jnp.float32)
         co = jax.lax.dot_general(
-            o_scr[...].reshape(group, P), basis_c, nt,
-            preferred_element_type=jnp.float32)
+            dL_dopac, basis_c, nt, preferred_element_type=jnp.float32)
 
         # Convert moments to gradient rows (tile-local mean coords).
         mx = rows[:, 0:1] - tx
@@ -301,7 +311,9 @@ def _bwd_kernel(counts_ref, tiles_x_ref, ids_ref, data_ref, final_t_ref,
         out_rows = jnp.concatenate(
             [d_mx, d_my, d_A, d_B, d_C, d_opac, d_r, d_g, d_b, pad], axis=1)
         d_data_ref[0, pl.ds(k0, group)] = out_rows
-        return carry
+        # Group carries: T_{k0} = row 0's T (full-group suffix product
+        # applied); Bc over all entries >= k0 = Bc_in + full suffix sum.
+        return T_k[0:1], Bc_in + U[0:1]
 
     d_data_ref[...] = jnp.zeros(d_data_ref.shape, d_data_ref.dtype)
     jax.lax.fori_loop(0, num_groups, group_body, init)
@@ -384,7 +396,6 @@ def _blend_fwd_call(data_tiles, counts, tiles_x, num_tiles, tile_ids=None):
 def _blend_bwd_call(data_tiles, counts, final_t, n_contrib, g_color, g_t,
                     tiles_x, num_tiles, tile_ids=None):
     k = data_tiles.shape[1]
-    group = _exit_check()
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(num_tiles,),
@@ -404,17 +415,12 @@ def _blend_bwd_call(data_tiles, counts, final_t, n_contrib, g_color, g_t,
             pl.BlockSpec((1, k, FEAT), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((group, PIX_SUB, PIX_LANE), jnp.float32),
-            pltpu.VMEM((group, PIX_SUB, PIX_LANE), jnp.float32),
-            pltpu.VMEM((group, PIX_SUB, PIX_LANE), jnp.float32),
-        ],
     )
 
     def kernel(counts_ref, tiles_x_ref, ids_ref, data_ref, ft_ref, n_ref,
-               gc_ref, gt_ref, d_data_ref, p_scr, w_scr, o_scr):
+               gc_ref, gt_ref, d_data_ref):
         _bwd_kernel(counts_ref, tiles_x_ref, ids_ref, data_ref, ft_ref,
-                    n_ref, gc_ref, gt_ref, d_data_ref, p_scr, w_scr, o_scr)
+                    n_ref, gc_ref, gt_ref, d_data_ref)
 
     (d_data,) = pl.pallas_call(
         kernel,

@@ -211,28 +211,32 @@ def main():
             shs = gm.sh_features(params)
             res = render(params.xyz, scales, quats, opac, cam, settings, bg,
                          shs=shs, live_mask=live)
-            return res.image, res.num_clipped, res.num_overflow
+            return (res.image, res.num_clipped, res.num_overflow,
+                    res.num_overflow_tiles, res.max_tile_depth)
         return forward
 
     forward = forward_fn(settings)
     log(f"[bench] compiling render: N={n} cap={cap} {width}x{height} "
         f"on {jax.devices()[0]}")
     t0 = time.time()
-    img, clipped, overflow = forward(state.params, state.live)
+    img, clipped, overflow, over_tiles, max_depth = forward(state.params,
+                                                            state.live)
     img.block_until_ready()
     clipped, overflow = int(clipped), int(overflow)
+    over_tiles, max_depth = int(over_tiles), int(max_depth)
     log(f"[bench] compile+first render {time.time() - t0:.1f}s, "
         f"clipped={clipped} overflow={overflow} "
+        f"over_tiles={over_tiles} max_depth={max_depth} "
         f"mean={float(img.mean()):.4f}")
 
     # Warmup then measure FPS.
     for _ in range(3):
-        img, _, _ = forward(state.params, state.live)
+        img = forward(state.params, state.live)[0]
     img.block_until_ready()
     iters = 30
     t0 = time.time()
     for _ in range(iters):
-        img, _, _ = forward(state.params, state.live)
+        img = forward(state.params, state.live)[0]
     img.block_until_ready()
     dt = time.time() - t0
     fps = iters / dt
@@ -256,27 +260,47 @@ def main():
     psnr_vs_exact = None
     fps_2pass = None
     psnr_2pass = None
+    # Adaptive continuation sizing (VERDICT r3 item 3): size the 2-pass
+    # continuation from the measured overflow SHAPE (the probes above)
+    # instead of fixed knobs — compact covers every overflowed tile with 25%
+    # headroom (densification during the quality fit deepens tiles), and the
+    # capacity covers the deepest tile's tail. Fixed (128, 512) left 23
+    # tiles uncovered and truncated the deepest tile by ~500 entries.
+    def _ceil_to(x, m):
+        return ((x + m - 1) // m) * m
+
+    cont_compact = _ceil_to(max(over_tiles + over_tiles // 4, 32), 8)
+    cont_capacity = max(512, _ceil_to(
+        (max_depth - settings.max_per_tile) * 5 // 4, 128))
+    exact_settings = settings._replace(overflow_passes=2,
+                                       overflow_capacity=cont_capacity,
+                                       overflow_compact=cont_compact)
     if overflow > 0:
         exact_fwd = forward_fn(make_settings(4096))
-        img_exact, _, ov2 = exact_fwd(state.params, state.live)
+        img_exact, _, ov2, _, _ = exact_fwd(state.params, state.live)
         psnr_vs_exact = float(psnr_fn(img, img_exact))
         log(f"[bench] exact render overflow={int(ov2)}, production-config "
             f"PSNR vs exact = {psnr_vs_exact:.2f} dB")
-        two_pass = forward_fn(make_settings(1024)._replace(
-            overflow_passes=2, overflow_capacity=512))
-        img2, _, ov3 = two_pass(state.params, state.live)
+        two_pass = forward_fn(exact_settings)
+        img2, _, ov3, _, _ = two_pass(state.params, state.live)
         img2.block_until_ready()
         t0 = time.time()
         for _ in range(iters):
-            img2, _, _ = two_pass(state.params, state.live)
+            img2 = two_pass(state.params, state.live)[0]
         img2.block_until_ready()
         fps_2pass = iters / (time.time() - t0)
         psnr_2pass = float(psnr_fn(img2, img_exact))
-        log(f"[bench] 2-pass overflow continuation: {fps_2pass:.2f} FPS, "
-            f"overflow={int(ov3)}, PSNR vs exact = {psnr_2pass:.2f} dB")
+        log(f"[bench] 2-pass overflow continuation "
+            f"(compact={cont_compact} cap={cont_capacity}): "
+            f"{fps_2pass:.2f} FPS, residual overflow={int(ov3)}, "
+            f"PSNR vs exact = {psnr_2pass:.2f} dB")
         extra["psnr_vs_exact_db"] = round(psnr_vs_exact, 2)
         extra["fps_2pass_overflow"] = round(fps_2pass, 2)
         extra["psnr_2pass_vs_exact_db"] = round(psnr_2pass, 2)
+        extra["overflow_tiles"] = over_tiles
+        extra["max_tile_depth"] = max_depth
+        extra["cont_compact"] = cont_compact
+        extra["cont_capacity"] = cont_capacity
         if psnr_2pass >= 45.0:
             _RESULT.update({
                 "metric": "render_fps_1200x680_300k_exact",
@@ -439,12 +463,10 @@ def main():
         return render(p.xyz, sc, qu, op, cam_i, settings, bg,
                       shs=gm.sh_features(p), live_mask=l).image
 
-    # Scoring renders go through the EXACT overflow-continuation path: the
-    # 1-pass production config's ~32 dB-vs-exact tile-capacity error would
-    # otherwise cap the measurable mapping PSNR.
-    exact_settings = settings._replace(overflow_passes=2,
-                                       overflow_capacity=512)
-
+    # Scoring renders go through the EXACT overflow-continuation path (the
+    # adaptively-sized exact_settings above): the 1-pass production config's
+    # ~32 dB-vs-exact tile-capacity error would otherwise cap the measurable
+    # mapping PSNR.
     @jax.jit
     def _render_cam_exact(p, l, cam_i):
         sc, qu, op = gm.activated(p)

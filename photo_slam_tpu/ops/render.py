@@ -85,6 +85,12 @@ class RenderResult(NamedTuple):
     n_contrib: jnp.ndarray      # [H, W]
     num_clipped: jnp.ndarray    # [] int32 binning diagnostics (0 for dense)
     num_overflow: jnp.ndarray   # [] int32
+    # Overflow-shape probes for sizing the continuation (both pre-
+    # continuation): tiles whose raw depth exceeds max_per_tile, and the
+    # deepest tile's raw entry count. Callers size overflow_compact /
+    # overflow_capacity / overflow_passes from these (adaptive continuation).
+    num_overflow_tiles: Optional[jnp.ndarray] = None
+    max_tile_depth: Optional[jnp.ndarray] = None
 
 
 def render(
@@ -129,6 +135,7 @@ def render(
         prep = prep._replace(means2d=prep.means2d + means2d_offset)
 
     zero = jnp.zeros((), jnp.int32)
+    over_tiles, max_depth = zero, zero
     if settings.mode == "dense":
         out = dense_mod.render_dense(prep, opacities, settings.width,
                                      settings.height, bg_color)
@@ -149,6 +156,9 @@ def render(
         # render_pallas already nets out the continuation coverage (by the
         # actual residual-light tile subset it ran) from num_overflow.
         clipped, overflow = binning.num_clipped, binning.num_overflow
+        over_tiles = jnp.sum(
+            (binning.raw_counts > settings.max_per_tile).astype(jnp.int32))
+        max_depth = jnp.max(binning.raw_counts)
     else:
         out, binning = tiled_mod.render_tiled(
             prep,
@@ -162,6 +172,9 @@ def render(
             tiles_per_chunk=settings.tiles_per_chunk,
         )
         clipped, overflow = binning.num_clipped, binning.num_overflow
+        over_tiles = jnp.sum(
+            (binning.raw_counts > settings.max_per_tile).astype(jnp.int32))
+        max_depth = jnp.max(binning.raw_counts)
 
     return RenderResult(
         image=out.image,
@@ -171,6 +184,8 @@ def render(
         n_contrib=out.n_contrib,
         num_clipped=clipped,
         num_overflow=overflow,
+        num_overflow_tiles=over_tiles,
+        max_tile_depth=max_depth,
     )
 
 

@@ -175,6 +175,28 @@ class TestOverflowContinuation:
         assert np.abs(np.asarray(starved.image)
                       - np.asarray(full.image)).max() > 1e-3
 
+    def test_overflow_shape_probes(self):
+        """RenderResult.num_overflow_tiles / max_tile_depth — the probes
+        bench.py sizes the adaptive continuation from — must describe the
+        RAW per-tile depth distribution: max_tile_depth is independent of
+        max_per_tile, and num_overflow_tiles counts tiles deeper than the
+        configured capacity (0 when nothing overflows)."""
+        means, scales, quats, opac, colors = make_scene(n=600, seed=3)
+        c = cam()
+        args = (jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+                jnp.asarray(opac))
+        bg = jnp.zeros(3)
+        full = render(*args, c, self._settings(512), bg,
+                      colors_precomp=jnp.asarray(colors))
+        starved = render(*args, c, self._settings(128), bg,
+                         colors_precomp=jnp.asarray(colors))
+        assert int(full.num_overflow) == 0
+        assert int(full.num_overflow_tiles) == 0
+        assert int(starved.num_overflow_tiles) > 0
+        # Raw depth distribution does not depend on the capacity knob.
+        assert int(full.max_tile_depth) == int(starved.max_tile_depth)
+        assert 128 < int(starved.max_tile_depth) <= 512
+
     def test_compact_continuation_matches_full(self):
         """The compact path (continuation over only the deepest
         `overflow_compact` tiles) must match the exhaustive all-tiles

@@ -39,6 +39,7 @@ from photo_slam_tpu.models.camera import Camera
 from photo_slam_tpu.native import local_ba, pose_graph_optimize, pose_optimize
 from photo_slam_tpu.tracking.gt_tracker import Frame
 from photo_slam_tpu.tracking.local_map import KeyframeNode, LocalMap
+from photo_slam_tpu.tracking.vocab import KeyframeDatabase
 from photo_slam_tpu.utils.math import se3_inverse
 from photo_slam_tpu.utils.sim3 import Sim3, sim3_pose_graph_optimize
 
@@ -194,9 +195,14 @@ class SlamFrontend:
         self._frame_idx = 0
         self._kf_count = 0
         self.live_kf_ids: set[int] = set()
-        # Loop detection database: kfid -> strongest descriptors.
+        # Loop detection database: kfid -> strongest descriptors, plus a
+        # TF-IDF bag-of-binary-words index (the DBoW2 role; the vocabulary
+        # trains itself from the first keyframes' descriptors). Majority-bit
+        # signatures remain as the pre-training fallback.
         self._loop_db: dict[int, np.ndarray] = {}
         self._loop_sigs: dict[int, np.ndarray] = {}
+        self.kfdb = KeyframeDatabase()
+        self.loop_min_db_score = 0.05
         self._last_loop_kfid = -(1 << 30)
         self._mono_init: Optional[tuple] = None  # (px, desc, img, raw, resp)
         self._last_resp: Optional[np.ndarray] = None
@@ -534,6 +540,7 @@ class SlamFrontend:
             bits = np.unpackbits(db, axis=1)
             self._loop_sigs[node.kfid] = np.packbits(
                 bits.mean(axis=0) >= 0.5)
+            self.kfdb.add(node.kfid, db)
 
     def _local_3d_of(self, node: KeyframeNode) -> np.ndarray:
         """Camera-local 3D per keypoint (0 where unknown) — the
@@ -772,25 +779,39 @@ class SlamFrontend:
         qsig = self._loop_sigs.get(node.kfid)
         if q is None or qsig is None:
             return None
-        # Stage 1 — signature prefilter: one vectorized Hamming pass over
-        # per-keyframe majority-bit signatures, keep the closest few. The
-        # full ratio-test match costs ~10 ms/pair, so a linear scan would
-        # stall the tracking thread for seconds late in a run.
-        cand_ids = [k for k in self._loop_db
-                    if k not in exclude and k != node.kfid
-                    and k in self._loop_sigs]
-        if not cand_ids:
-            return None
-        sigs = np.stack([self._loop_sigs[k] for k in cand_ids])
-        sig_d = _sig_distances(qsig, sigs)
-        top = np.argsort(sig_d)[:5]
-        for j in top:
-            kfid = cand_ids[int(j)]
+        # Stage 1 — retrieval: the TF-IDF bag-of-binary-words index (the
+        # DBoW2 inverted-index role) with ORB-SLAM3's covisibility
+        # normalization: a candidate must look at least as similar as the
+        # query's WORST covisible neighbor (LoopClosing::DetectLoop's
+        # minScore) — the guard that keeps repetitive texture from producing
+        # false loops. Falls back to the majority-bit signature prefilter
+        # until the vocabulary has trained. The full ratio-test match costs
+        # ~10 ms/pair, so a linear descriptor scan would stall tracking.
+        if self.kfdb.trained:
+            cov_scores = [self.kfdb.score(node.kfid, c)
+                          for c in self.map.covisible_kfs(node.kfid, 15)
+                          if c in self.kfdb]
+            min_score = min(cov_scores) if cov_scores else 0.0
+            thr = max(min_score, self.loop_min_db_score)
+            hits = self.kfdb.query(node.kfid, exclude=exclude, topk=8)
+            cands = [k for k, s in hits if s >= thr][:5]
+            self.loop_debug = {"db_hits": hits[:3], "min_score": min_score}
+        else:
+            cand_ids = [k for k in self._loop_db
+                        if k not in exclude and k != node.kfid
+                        and k in self._loop_sigs]
+            if not cand_ids:
+                return None
+            sigs = np.stack([self._loop_sigs[k] for k in cand_ids])
+            sig_d = _sig_distances(qsig, sigs)
+            cands = [cand_ids[int(j)] for j in np.argsort(sig_d)[:5]]
+            self.loop_debug = {}
+        for kfid in cands:
             ia, _ = match_descriptors(q, self._loop_db[kfid], max_dist=45,
                                       ratio=0.85)
             if len(ia) > best_score:
                 best_score, best_kfid = len(ia), kfid
-        self.loop_debug = {"cand": best_kfid, "score": best_score}
+        self.loop_debug.update({"cand": best_kfid, "score": best_score})
         if best_kfid < 0 or best_score < self.loop_min_score:
             return None
 
@@ -1148,15 +1169,21 @@ class SlamFrontend:
         resp = self._last_resp
         if resp is not None and len(resp) == len(q):
             q = q[np.argsort(-resp)]
-        qsig = np.packbits(np.unpackbits(q[:300], axis=1).mean(axis=0) >= 0.5)
-        cand_ids = [k for k in self.map.keyframes if k in self._loop_sigs]
-        if not cand_ids:
-            return False
-        sigs = np.stack([self._loop_sigs[k] for k in cand_ids])
-        sig_d = _sig_distances(qsig, sigs)
+        if self.kfdb.trained:
+            hits = self.kfdb.query(q[:300], topk=12)
+            cands = [k for k, _ in hits if k in self.map.keyframes][:5]
+        else:
+            qsig = np.packbits(
+                np.unpackbits(q[:300], axis=1).mean(axis=0) >= 0.5)
+            cand_ids = [k for k in self.map.keyframes
+                        if k in self._loop_sigs]
+            if not cand_ids:
+                return False
+            sigs = np.stack([self._loop_sigs[k] for k in cand_ids])
+            sig_d = _sig_distances(qsig, sigs)
+            cands = [cand_ids[int(j)] for j in np.argsort(sig_d)[:5]]
         best_kfid, best_matches = -1, None
-        for j in np.argsort(sig_d)[:5]:
-            kfid = cand_ids[int(j)]
+        for kfid in cands:
             kf = self.map.keyframes[kfid]
             has = kf.mp_ids >= 0
             if has.sum() < 20:

@@ -79,6 +79,77 @@ class TestMultichip:
             singles.append(float(li))
         assert batch_val == pytest.approx(np.mean(singles), rel=1e-5)
 
+    def test_grads_match_1_vs_8_devices(self):
+        """Data-parallel correctness (VERDICT r3 item 10): one
+        train_step_batched step on the SAME batch must produce the same
+        parameters and Adam state whether the batch lives on 1 device or is
+        sharded over the 8-device mesh (grads reduce over ICI) — the
+        property that makes dp training correct, beyond loss equality."""
+        import jax.numpy as jnp
+
+        import __graft_entry__ as ge
+        from photo_slam_tpu.models import optimizer as optim
+        from photo_slam_tpu.ops.camera_math import (CameraMatrices,
+                                                    build_camera_matrices)
+        from photo_slam_tpu.ops.render import RenderSettings
+        from photo_slam_tpu.parallel.sharding import (make_mesh, replicate,
+                                                      shard_batch_args,
+                                                      train_step_batched)
+
+        width, height = 64, 48
+        B = 8
+        state, _, _, _, tanf = ge._make_scene(n=128, width=width,
+                                              height=height)
+        settings = RenderSettings(width=width, height=height, tan_fovx=tanf,
+                                  tan_fovy=tanf * height / width,
+                                  sh_degree=3, max_per_tile=128,
+                                  max_tiles_per_gaussian=16,
+                                  tiles_per_chunk=4)
+        rng = np.random.RandomState(3)
+        cams_list = [
+            build_camera_matrices(np.eye(3),
+                                  np.array([0.05 * i, 0.02 * (i % 3), 0]),
+                                  0.01, 100.0, 1.0, 1.0)
+            for i in range(B)
+        ]
+        cams = CameraMatrices(
+            viewmatrix=jnp.stack([c.viewmatrix for c in cams_list]),
+            full_proj=jnp.stack([c.full_proj for c in cams_list]),
+            cam_center=jnp.stack([c.cam_center for c in cams_list]),
+        )
+        gts = jnp.asarray(rng.rand(B, 3, height, width).astype(np.float32))
+        masks = jnp.ones((B, height, width), jnp.float32)
+        bg = jnp.zeros(3)
+        lam = jnp.float32(0.2)
+        lrs = optim.LearningRates.create(1.6e-4, 2.5e-3, 0.05, 5e-3, 1e-3)
+
+        def run(shard: bool):
+            st = jax.tree.map(jnp.copy, state)
+            opt = optim.init_adam(st.params)
+            c, g, m = cams, gts, masks
+            if shard:
+                mesh = make_mesh(8)
+                st = replicate(mesh, st)
+                opt = replicate(mesh, opt)
+                c, g, m = shard_batch_args(mesh, cams, gts, masks)
+            st, opt, metrics = train_step_batched(
+                st, opt, c, g, m, lrs, bg, lam, settings)
+            return st, opt, float(metrics["loss"])
+
+        st1, opt1, loss1 = run(shard=False)
+        st8, opt8, loss8 = run(shard=True)
+        assert loss1 == pytest.approx(loss8, rel=1e-6)
+        for a, b, name in [
+            (st1.params, st8.params, "params"),
+            (st1.xyz_grad_accum, st8.xyz_grad_accum, "grad_accum"),
+            (opt1.m, opt8.m, "adam_m"),
+            (opt1.v, opt8.v, "adam_v"),
+        ]:
+            for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+                np.testing.assert_allclose(
+                    np.asarray(la), np.asarray(lb), atol=1e-6, rtol=1e-5,
+                    err_msg=f"{name} diverged between 1 and 8 devices")
+
 
 def test_default_render_mode_cpu():
     """On the CPU test platform the mode helper must pick the jnp path

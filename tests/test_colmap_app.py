@@ -135,6 +135,7 @@ class TestTrainColmapApp:
                                   np.arange(n), pts, cols)
         return tmp_path
 
+    @pytest.mark.slow
     def test_app_runs_end_to_end(self, colmap_dataset, tmp_path):
         from photo_slam_tpu.apps.train_colmap import main
         out = tmp_path / "out"

@@ -144,6 +144,7 @@ class TestRgbdTracking:
         kfs = sorted(fe.map.keyframes)
         assert kfs[-2] in fe.map.covisible_kfs(kfs[-1])
 
+    @pytest.mark.slow
     def test_drives_mapper(self, rgbd_sequence):
         cam, frames, _ = rgbd_sequence
         from photo_slam_tpu.config import Config
@@ -242,6 +243,7 @@ class TestMappingQualityParity:
         mapper.run(is_tracker_done=lambda: True, max_iterations=iters)
         return mapper
 
+    @pytest.mark.slow
     def test_slam_driven_matches_gt_driven_psnr(self, rgbd_sequence):
         from photo_slam_tpu.ops.losses import psnr
         from photo_slam_tpu.tracking.gt_tracker import GroundTruthTracker

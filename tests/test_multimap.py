@@ -25,6 +25,7 @@ def _blank_frame(i):
 
 
 class TestMultiMap:
+    @pytest.mark.slow
     def test_submap_spawn_and_merge_on_revisit(self):
         """Tracking dies mid-sequence (blank frames); the frontend must keep
         mapping the second half in a fresh sub-map and stitch it onto the

@@ -85,6 +85,7 @@ class TestVoTracker:
         err = np.abs(est - gt_trans)
         assert err.max() < 0.03, f"pose error too large: {err.max()}"
 
+    @pytest.mark.slow
     def test_keyframe_ops_drive_mapper(self, sequence):
         cam, frames, _ = sequence
         from photo_slam_tpu.config import Config

@@ -1,0 +1,288 @@
+"""Protocol-length (30k-iter) held-out mapping quality soak.
+
+Runs bench.py's hardened quality protocol at the FULL reference length
+(30,100-iteration Replica RGBD protocol, reference
+cfg/gaussian_mapper/RGB-D/Replica/replica_rgbd.yaml:55-73 and
+scripts/replica_rgbd.sh) as a standalone soak: the driver's bench window
+(~22 min) cannot fit 30k iterations plus compiles, so this tool owns the
+north-star measurement and checkpoints every CKPT_EVERY iterations so a
+tunnel flake or an interrupted session resumes instead of restarting
+(same full-state npz layout as mapper/trainer.save_checkpoint).
+
+Identical protocol to bench.py's quality stage:
+  * GT world: 300k-splat surface room textured from photographic statistics
+    (real photo + 1/f noise), opacity 0.85.
+  * 24 training views rendered through the EXACT overflow-continuation path,
+    then corrupted by the sensor model (exposure drift, shot noise, motion
+    blur) — the model never sees its own targets uncorrupted.
+  * Fresh model: 150k subsampled noisy points, gray colors; densify every
+    100 iters in (500, 15000], opacity reset every 3000, expon position LR
+    over the protocol length (reference schedule, gaussian_model.cpp:1118).
+  * Score: held-out PSNR/SSIM on 2 test views vs CLEAN exact renders.
+
+Usage:  PYTHONPATH=/root/repo:$PYTHONPATH python tools/quality_soak_30k.py
+Output: results/quality30k/summary.json + checkpoints + per-2k telemetry.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import bench  # scene/texture/sensor-model helpers (shared protocol source)
+
+OUT = Path(__file__).resolve().parent.parent / "results" / "quality30k"
+CKPT_EVERY = int(os.environ.get("SOAK_CKPT_EVERY", "3000"))
+PROTOCOL_ITERS = int(os.environ.get("SOAK_QUALITY_ITERS", "30000"))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def save_ckpt(path, state, opt_state, it, key):
+    payload = {}
+    for name, arr in state.params._asdict().items():
+        payload[f"p_{name}"] = np.asarray(arr)
+    for name in ("live", "max_radii2d", "xyz_grad_accum", "denom",
+                 "exist_since_iter"):
+        payload[f"s_{name}"] = np.asarray(getattr(state, name))
+    for name, arr in opt_state.m._asdict().items():
+        payload[f"m_{name}"] = np.asarray(arr)
+    for name, arr in opt_state.v._asdict().items():
+        payload[f"v_{name}"] = np.asarray(arr)
+    payload["meta"] = np.array([it, int(opt_state.step)])
+    payload["key"] = np.asarray(key)
+    tmp = Path(str(path) + ".tmp.npz")
+    np.savez(tmp, **payload)
+    tmp.replace(path)
+
+
+def load_ckpt(path):
+    import jax.numpy as jnp
+    from photo_slam_tpu.models import gaussian_model as gm
+    from photo_slam_tpu.models import optimizer as optim
+
+    data = np.load(path)
+    params = gm.GaussianParams(
+        **{k: jnp.asarray(data[f"p_{k}"]) for k in gm.GaussianParams._fields})
+    state = gm.GaussianState(
+        params=params,
+        live=jnp.asarray(data["s_live"]),
+        max_radii2d=jnp.asarray(data["s_max_radii2d"]),
+        xyz_grad_accum=jnp.asarray(data["s_xyz_grad_accum"]),
+        denom=jnp.asarray(data["s_denom"]),
+        exist_since_iter=jnp.asarray(data["s_exist_since_iter"]),
+    )
+    opt_state = optim.AdamState(
+        m=gm.GaussianParams(**{k: jnp.asarray(data[f"m_{k}"])
+                               for k in gm.GaussianParams._fields}),
+        v=gm.GaussianParams(**{k: jnp.asarray(data[f"v_{k}"])
+                               for k in gm.GaussianParams._fields}),
+        step=jnp.asarray(data["meta"][1], jnp.int32),
+    )
+    return state, opt_state, int(data["meta"][0]), jnp.asarray(data["key"])
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    # Persistent compile cache: a resumed slice pays seconds, not minutes.
+    cache_dir = Path(os.environ.get("SOAK_JAX_CACHE",
+                                    "/tmp/soak30k_jax_cache"))
+    cache_dir.mkdir(parents=True, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from photo_slam_tpu.mapper.trainer import (densify_step,
+                                               opacity_reset_step, train_step)
+    from photo_slam_tpu.models import gaussian_model as gm
+    from photo_slam_tpu.models import optimizer as optim
+    from photo_slam_tpu.ops.camera_math import build_camera_matrices
+    from photo_slam_tpu.ops.losses import psnr as psnr_fn
+    from photo_slam_tpu.ops.losses import ssim
+    from photo_slam_tpu.ops.render import RenderSettings, render
+    from photo_slam_tpu.utils.math import inverse_sigmoid
+
+    OUT.mkdir(parents=True, exist_ok=True)
+    t_start = time.time()
+
+    n = 300_000
+    width, height = 1200, 680
+    fovx = 1.2
+    rng = np.random.RandomState(0)
+    pts, _ = bench.room_scene(n, rng)
+    rng.rand(3, height, width)  # keep the rng stream aligned with bench.py
+    cap = n
+
+    def make_settings(max_per_tile):
+        return RenderSettings(
+            width=width, height=height,
+            tan_fovx=float(np.tan(fovx / 2)),
+            tan_fovy=float(np.tan(fovx / 2) * height / width),
+            sh_degree=3, mode="pallas",
+            max_tiles_per_gaussian=6, max_per_tile=max_per_tile)
+
+    settings = make_settings(1024)
+    bg = jnp.zeros(3)
+
+    # GT world (photographic texture, opacity 0.85) — bench.py quality stage.
+    atlas = bench.photo_atlas()
+    gt_cols = bench.photo_colors(pts, atlas)
+    gt_state = gm.create_from_pcd(pts, gt_cols, sh_degree=3, capacity=cap)
+    gt_state = gt_state._replace(params=gt_state.params._replace(
+        opacity_logit=jnp.full_like(gt_state.params.opacity_logit,
+                                    float(inverse_sigmoid(jnp.float32(0.85))))))
+
+    cam0 = build_camera_matrices(np.eye(3), np.zeros(3), 0.01, 100.0,
+                                 fovx, fovx * height / width)
+
+    # Adaptive exact-continuation sizing from render-time depth probes
+    # (bench.py, VERDICT r3 item 3).
+    @jax.jit
+    def probe(p, l):
+        sc, qu, op = gm.activated(p)
+        res = render(p.xyz, sc, qu, op, cam0, settings, bg,
+                     shs=gm.sh_features(p), live_mask=l)
+        return res.num_overflow_tiles, res.max_tile_depth
+
+    over_tiles, max_depth = (int(x) for x in probe(gt_state.params,
+                                                   gt_state.live))
+    log(f"[soak] probes: over_tiles={over_tiles} max_depth={max_depth}")
+
+    def _ceil_to(x, m):
+        return ((x + m - 1) // m) * m
+
+    cont_compact = _ceil_to(max(over_tiles + over_tiles // 4, 32), 8)
+    cont_capacity = max(512, _ceil_to(
+        (max_depth - settings.max_per_tile) * 5 // 4, 128))
+    exact_settings = settings._replace(overflow_passes=2,
+                                       overflow_capacity=cont_capacity,
+                                       overflow_compact=cont_compact)
+
+    def make_cam(yaw, tx, ty, tz):
+        cy, sy = np.cos(yaw), np.sin(yaw)
+        R = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+        return build_camera_matrices(R, np.array([tx, ty, tz]), 0.01, 100.0,
+                                     fovx, fovx * height / width)
+
+    view_params = [(0.09 * (i - 11), 0.22 * (i % 5 - 2), 0.1 * (i % 3 - 1),
+                    0.35 * (i % 4)) for i in range(24)]
+    views = [make_cam(*vp) for vp in view_params]
+    test_cams = [make_cam(0.05, -0.15, 0.06, 0.2),
+                 make_cam(-0.35, 0.3, -0.05, 0.7)]
+
+    @jax.jit
+    def _render_exact(p, l, cam_i):
+        sc, qu, op = gm.activated(p)
+        return render(p.xyz, sc, qu, op, cam_i, exact_settings, bg,
+                      shs=gm.sh_features(p), live_mask=l).image
+
+    log("[soak] rendering GT training/test views (exact path)...")
+    t0 = time.time()
+    crng = np.random.RandomState(7)
+    gt_views = [jnp.asarray(bench.corrupt_frame(
+        np.asarray(_render_exact(gt_state.params, gt_state.live, c)), i, crng))
+        for i, c in enumerate(views)]
+    gt_tests = [jnp.asarray(_render_exact(gt_state.params, gt_state.live, c))
+                for c in test_cams]
+    log(f"[soak] GT views in {time.time() - t0:.1f}s")
+    del gt_state
+
+    score_fn = jax.jit(lambda a, b: (psnr_fn(a, b), ssim(a, b)))
+
+    # Fresh model or resume.
+    ckpts = sorted(OUT.glob("ckpt_*.npz"))
+    if ckpts:
+        state, opt_state, start_i, key = load_ckpt(ckpts[-1])
+        log(f"[soak] resumed {ckpts[-1].name} at iter {start_i}")
+    else:
+        m_sub = 150_000
+        sel = rng.choice(n, m_sub, replace=False)
+        init_pts = pts[sel] + rng.randn(m_sub, 3).astype(np.float32) * 0.01
+        init_cols = np.full((m_sub, 3), 0.5, np.float32)
+        state = gm.create_from_pcd(init_pts, init_cols, sh_degree=3,
+                                   capacity=cap)
+        opt_state = optim.init_adam(state.params)
+        start_i = 0
+        key = jax.random.PRNGKey(0)
+
+    lrs = optim.LearningRates.create(1.6e-4, 2.5e-3, 0.05, 5e-3, 1e-3)
+    lam = jnp.float32(0.2)
+    mask = jnp.ones((height, width), jnp.float32)
+    centers = np.stack([np.asarray(c.cam_center) for c in views])
+    extent = 1.1 * float(np.max(np.linalg.norm(
+        centers - centers.mean(0), axis=1)))
+
+    telemetry = []
+    tel_path = OUT / "telemetry.jsonl"
+    t0 = time.time()
+    i = start_i
+    for i in range(start_i + 1, PROTOCOL_ITERS + 1):
+        v = (i - 1) % len(views)
+        lrs_i = lrs._replace(xyz=optim.expon_lr(
+            i, 1.6e-4, 1.6e-6, max_steps=PROTOCOL_ITERS))
+        state, opt_state, m = train_step(state, opt_state, views[v],
+                                         gt_views[v], mask, lrs_i, bg, lam,
+                                         settings)
+        if 500 < i <= 15000 and i % 100 == 0:
+            key, sub = jax.random.split(key)
+            state, opt_state, _info = densify_step(
+                state, opt_state, sub, jnp.float32(max(extent, 1.0)),
+                grad_threshold=2e-4, min_opacity=0.005,
+                max_screen_size=(20 if i > 3000 else 0), percent_dense=0.01)
+        if i % 3000 == 0 and i + 1500 < PROTOCOL_ITERS:
+            state, opt_state = opacity_reset_step(state, opt_state)
+        if i % 2000 == 0:
+            jax.block_until_ready(m["loss"])
+            ho = float(score_fn(_render_exact(state.params, state.live,
+                                              test_cams[0]), gt_tests[0])[0])
+            rate = (i - start_i) / max(time.time() - t0, 1e-9)
+            rec = {"iter": i, "loss": round(float(m["loss"]), 5),
+                   "held_out_psnr_db": round(ho, 3),
+                   "live": int(gm.num_live(state)),
+                   "iters_per_sec": round(rate, 2),
+                   "wall_s": round(time.time() - t_start, 1)}
+            telemetry.append(rec)
+            with open(tel_path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+            log(f"[soak] {rec}")
+        if i % CKPT_EVERY == 0:
+            save_ckpt(OUT / f"ckpt_{i:06d}.npz", state, opt_state, i, key)
+            for old in sorted(OUT.glob("ckpt_*.npz"))[:-2]:
+                old.unlink()
+            log(f"[soak] checkpointed iter {i}")
+
+    jax.block_until_ready(state.params.xyz)
+    scores = [score_fn(_render_exact(state.params, state.live, c), gtt)
+              for c, gtt in zip(test_cams, gt_tests)]
+    mapping_psnr = float(np.mean([float(p) for p, _ in scores]))
+    mapping_ssim = float(np.mean([float(s) for _, s in scores]))
+    per_view = [{"psnr_db": round(float(p), 3), "ssim": round(float(s), 4)}
+                for p, s in scores]
+    summary = {
+        "protocol_iters": PROTOCOL_ITERS,
+        "iters_done": i,
+        "mapping_psnr_db": round(mapping_psnr, 2),
+        "mapping_ssim": round(mapping_ssim, 4),
+        "per_test_view": per_view,
+        "gaussians": int(gm.num_live(state)),
+        "wall_s": round(time.time() - t_start, 1),
+        "telemetry": telemetry,
+        "device": str(jax.devices()[0]),
+    }
+    with open(OUT / "summary.json", "w") as f:
+        json.dump(summary, f, indent=2)
+    save_ckpt(OUT / f"ckpt_{i:06d}.npz", state, opt_state, i, key)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

@@ -32,9 +32,8 @@ def save_trajectory_tum(path, keyframes) -> None:
     lines = []
     for fid, kf in sorted(keyframes.items()):
         twc = se3_inverse(se3_matrix(kf.quat, kf.trans))
-        from photo_slam_tpu.utils.math import rotmat_to_quat
-        import jax.numpy as jnp
-        q = np.asarray(rotmat_to_quat(jnp.asarray(twc[:3, :3])))
+        from photo_slam_tpu.utils.math import rotmat_to_quat_numpy
+        q = rotmat_to_quat_numpy(twc[:3, :3])
         t = twc[:3, 3]
         lines.append(f"{fid} {t[0]:.6f} {t[1]:.6f} {t[2]:.6f} "
                      f"{q[1]:.6f} {q[2]:.6f} {q[3]:.6f} {q[0]:.6f}")
@@ -43,7 +42,8 @@ def save_trajectory_tum(path, keyframes) -> None:
 
 
 def _make_tracker(frontend: str, dataset, sensor: SensorType,
-                  keyframe_every: int, num_keypoints: int):
+                  keyframe_every: int, num_keypoints: int,
+                  async_mapping: bool = True):
     if frontend == "gt":
         return GroundTruthTracker(dataset.camera,
                                   keyframe_every=keyframe_every,
@@ -55,14 +55,16 @@ def _make_tracker(frontend: str, dataset, sensor: SensorType,
     sensor_name = {SensorType.MONOCULAR: "mono", SensorType.STEREO: "stereo",
                    SensorType.RGBD: "rgbd"}[sensor]
     return SlamFrontend(dataset.camera, sensor=sensor_name,
-                        num_features=max(num_keypoints, 1000))
+                        num_features=max(num_keypoints, 1000),
+                        async_local_mapping=async_mapping)
 
 
 def run_online(dataset, sensor: SensorType, cfg: Config, out_dir,
                keyframe_every: int = 10, num_keypoints: int = 800,
                max_iterations=None, threaded: bool = True,
                frontend: str = "slam", viewer: bool = False,
-               viewer_port: int = 8090, batch: int = 1) -> GaussianMapper:
+               viewer_port: int = 8090, batch: int = 1,
+               async_mapping: bool = True) -> GaussianMapper:
     """Drive a sequence through tracker + mapper (reference:
     examples/replica_rgbd.cpp main). `frontend` selects the tracking stack:
     "slam" (full feature frontend: local map + local BA + loop closing),
@@ -72,7 +74,7 @@ def run_online(dataset, sensor: SensorType, cfg: Config, out_dir,
     mapper = GaussianMapper(cfg, sensor, result_dir=out)
     mapper.add_camera(dataset.camera)
     tracker = _make_tracker(frontend, dataset, sensor, keyframe_every,
-                            num_keypoints)
+                            num_keypoints, async_mapping=async_mapping)
 
     server = None
     if viewer:
@@ -216,6 +218,14 @@ def _common_parser():
     ap.add_argument("--batch", type=int, default=1,
                     help="multi-view batched training: B keyframes per "
                          "optimization step (shards over a device mesh)")
+    ap.add_argument("--async-mapping", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="run the SLAM frontend's local mapping (cull + "
+                         "local BA + loop verification) on its own thread, "
+                         "the reference's LocalMapping-thread architecture "
+                         "(ORB-SLAM3/src/System.cc:194-213); "
+                         "--no-async-mapping keeps it on the tracking "
+                         "thread")
     return ap
 
 
@@ -228,7 +238,7 @@ def replica_rgbd(argv=None):
                       keyframe_every=args.keyframe_every,
                       max_iterations=args.iters, frontend=args.frontend,
                       viewer=args.viewer, viewer_port=args.viewer_port,
-                      batch=args.batch)
+                      batch=args.batch, async_mapping=args.async_mapping)
 
 
 def replica_mono(argv=None):
@@ -244,7 +254,7 @@ def replica_mono(argv=None):
                       keyframe_every=args.keyframe_every,
                       max_iterations=args.iters, frontend=args.frontend,
                       viewer=args.viewer, viewer_port=args.viewer_port,
-                      batch=args.batch)
+                      batch=args.batch, async_mapping=args.async_mapping)
 
 
 def tum_rgbd(argv=None):
@@ -267,7 +277,7 @@ def tum_rgbd(argv=None):
                       keyframe_every=args.keyframe_every,
                       max_iterations=args.iters, frontend=args.frontend,
                       viewer=args.viewer, viewer_port=args.viewer_port,
-                      batch=args.batch)
+                      batch=args.batch, async_mapping=args.async_mapping)
 
 
 def tum_mono(argv=None):
@@ -292,7 +302,7 @@ def tum_mono(argv=None):
                       keyframe_every=args.keyframe_every,
                       max_iterations=args.iters, frontend=args.frontend,
                       viewer=args.viewer, viewer_port=args.viewer_port,
-                      batch=args.batch)
+                      batch=args.batch, async_mapping=args.async_mapping)
 
 
 def euroc_stereo(argv=None):
@@ -312,7 +322,7 @@ def euroc_stereo(argv=None):
                       keyframe_every=args.keyframe_every,
                       max_iterations=args.iters, frontend=args.frontend,
                       viewer=args.viewer, viewer_port=args.viewer_port,
-                      batch=args.batch)
+                      batch=args.batch, async_mapping=args.async_mapping)
 
 
 if __name__ == "__main__":

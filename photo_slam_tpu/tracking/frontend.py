@@ -29,6 +29,8 @@ triangulation, scene scaled to unit median depth
 """
 from __future__ import annotations
 
+import queue
+import threading
 from typing import Optional
 
 import numpy as np
@@ -148,7 +150,8 @@ class SlamFrontend:
                  match_radius: float = 16.0,
                  enable_loop_closing: bool = True,
                  loop_min_score: int = 60, loop_min_inliers: int = 25,
-                 max_new_points_per_kf: int = 400):
+                 max_new_points_per_kf: int = 400,
+                 async_local_mapping: bool = False):
         if cv2 is None:  # pragma: no cover
             raise RuntimeError("SlamFrontend requires OpenCV")
         assert sensor in ("rgbd", "stereo", "mono")
@@ -208,6 +211,31 @@ class SlamFrontend:
         self._last_resp: Optional[np.ndarray] = None
         self._frame_grid: Optional[FeatureGrid] = None
         self.last_frame_vis: Optional[tuple] = None
+
+        # --- Asynchronous local mapping (the reference's architecture:
+        # ORB-SLAM3 runs LocalMapping and LoopClosing on their OWN threads,
+        # System.cc:194-213, so the tracking thread holds camera rate).
+        # When enabled, the per-keyframe tail work (map-point culling,
+        # windowed local BA, loop retrieval + PnP verification, op build)
+        # runs on a worker thread; only the map INSERT stays synchronous.
+        # Verified loops and BA pose corrections are handed back to the
+        # tracking thread and applied at the next frame boundary, so every
+        # whole-map mutation stays single-threaded.
+        self.async_local_mapping = async_local_mapping
+        self._lock = threading.RLock()
+        self._push_cb = None                 # set by run(); worker emits here
+        self._pending_ops: list[MappingOperation] = []
+        self._pending_pose_fix: Optional[np.ndarray] = None
+        self._pending_loop: Optional[tuple] = None
+        self._lm_exc: Optional[BaseException] = None
+        self._map_version = 0                # bumped on whole-map transforms
+        self._kf_jobs: Optional[queue.Queue] = None
+        self._lm_thread: Optional[threading.Thread] = None
+        if async_local_mapping:
+            self._kf_jobs = queue.Queue()
+            self._lm_thread = threading.Thread(
+                target=self._lm_worker, name="local-mapping", daemon=True)
+            self._lm_thread.start()
 
     # ------------------------------------------------------------------
     # Basics
@@ -273,12 +301,14 @@ class SlamFrontend:
         """Match local-map points to current features by projection.
 
         Returns (mp_ids [F] with -1 for unmatched, matched_count)."""
-        window = [self.last_kfid] + self.map.covisible_kfs(self.last_kfid)
-        ids = self.map.point_ids_of_kfs(window[:10])
-        mp_of_feat = np.full(len(px), -1, np.int64)
-        if len(ids) == 0 or len(px) == 0:
-            return mp_of_feat, 0
-        xyz = self.map.xyz[ids]
+        with self._lock:
+            window = ([self.last_kfid]
+                      + self.map.covisible_kfs(self.last_kfid))
+            ids = self.map.point_ids_of_kfs(window[:10])
+            mp_of_feat = np.full(len(px), -1, np.int64)
+            if len(ids) == 0 or len(px) == 0:
+                return mp_of_feat, 0
+            xyz = self.map.xyz[ids]
         uv, z = self._project(tcw_pred, xyz)
         cam = self.camera
         vis = ((z > self.min_depth) & (uv[:, 0] >= -20)
@@ -335,23 +365,26 @@ class SlamFrontend:
         keyframe's map-pointed features, no projection window (the role of
         Tracking::TrackReferenceKeyFrame) — catches motions larger than the
         projection search radius."""
-        kf = self.map.keyframes.get(self.last_kfid)
         mp_of_feat = np.full(len(px), -1, np.int64)
-        if kf is None:
-            return mp_of_feat, 0
-        has = kf.mp_ids >= 0
-        if has.sum() < 10:
-            return mp_of_feat, 0
-        ia, ib = match_descriptors(kf.desc[has], desc, max_dist=60,
-                                   ratio=0.8)
-        mp_of_feat[ib] = kf.mp_ids[has][ia]
+        with self._lock:
+            kf = self.map.keyframes.get(self.last_kfid)
+            if kf is None:
+                return mp_of_feat, 0
+            has = kf.mp_ids >= 0
+            if has.sum() < 10:
+                return mp_of_feat, 0
+            kf_desc = kf.desc[has]
+            kf_mp = kf.mp_ids[has].copy()
+        ia, ib = match_descriptors(kf_desc, desc, max_dist=60, ratio=0.8)
+        mp_of_feat[ib] = kf_mp[ia]
         return mp_of_feat, len(ia)
 
     def _pose_from_matches(self, px, mp_of_feat, tcw_init):
         sel = mp_of_feat >= 0
         if sel.sum() < 6:
             return None, 0, sel
-        obj = self.map.xyz[mp_of_feat[sel]]
+        with self._lock:
+            obj = self.map.xyz[mp_of_feat[sel]]
         img = px[sel].astype(np.float64)
         rvec0, _ = cv2.Rodrigues(tcw_init[:3, :3])
         ok, rvec, tvec, inliers = cv2.solvePnPRansac(
@@ -516,11 +549,95 @@ class SlamFrontend:
         self._kf_count += 1
         return kfid
 
+    # ------------------------------------------------------------------
+    # Asynchronous local mapping (worker thread)
+    # ------------------------------------------------------------------
+
+    def _lm_worker(self) -> None:
+        """LocalMapping-thread role (reference: ORB-SLAM3/src/LocalMapping.cc
+        Run loop): per new keyframe — map-point culling, windowed local BA,
+        place-recognition indexing, LocalMappingBA op emission, and loop
+        RETRIEVAL + geometric verification. Whole-map mutations (pose-graph
+        correction, map merges) are NOT done here: a verified loop is posted
+        to `_pending_loop` and applied by the tracking thread at the next
+        frame boundary."""
+        while True:
+            job = self._kf_jobs.get()
+            try:
+                if job is None:
+                    return
+                jmap, node, frame, new_world, new_colors = job
+                if jmap is not self.map:
+                    continue  # map was stashed/merged since enqueue
+                with self._lock:
+                    self.map.cull_points(node.kfid)
+                window = self._run_local_ba(node)
+                self._register_kf_db(node)
+                self._emit_op(self._make_local_ba_op(
+                    window, new_world, new_colors, frame, node))
+                if self.enable_loop_closing and self._pending_loop is None:
+                    found = self._verify_loop(node)
+                    if found is not None:
+                        self._pending_loop = (node, found)
+            except BaseException as e:  # surfaced by flush()
+                self._lm_exc = e
+            finally:
+                self._kf_jobs.task_done()
+
+    def _emit_op(self, op: Optional[MappingOperation]) -> None:
+        if op is None:
+            return
+        cb = self._push_cb
+        if cb is not None:
+            cb(op)
+        else:
+            with self._lock:
+                self._pending_ops.append(op)
+
+    def _apply_pending(self) -> list[MappingOperation]:
+        """Tracking-thread application of worker results: queued ops, the
+        local-BA pose correction for the live pose, and a verified loop
+        (pose graph / merge — the whole-map mutations stay on this thread)."""
+        ops: list[MappingOperation] = []
+        if self._pending_ops:
+            with self._lock:
+                ops, self._pending_ops = self._pending_ops, []
+        fix = self._pending_pose_fix
+        if fix is not None:
+            self._pending_pose_fix = None
+            self.tcw = fix @ self.tcw
+        if self._pending_loop is not None:
+            node, found = self._pending_loop
+            self._pending_loop = None
+            with self._lock:
+                op = self._apply_loop(node, *found)
+            if op is not None:
+                ops.append(op)
+        return ops
+
+    def flush(self) -> None:
+        """Drain the local-mapping queue and surface worker errors — call
+        before reading final poses/trajectory."""
+        if self._kf_jobs is not None:
+            self._kf_jobs.join()
+        if self._lm_exc is not None:
+            e, self._lm_exc = self._lm_exc, None
+            raise e
+
+    def close(self) -> None:
+        """Stop the local-mapping worker (idempotent)."""
+        if self._lm_thread is not None and self._lm_thread.is_alive():
+            self._kf_jobs.put(None)
+            self._lm_thread.join(timeout=30.0)
+
     def _register_kf(self, node: KeyframeNode) -> None:
         self.last_kfid = node.kfid
         self.live_kf_ids.add(node.kfid)
         self.frames_since_kf = 0
         self.ref_tracked = int((node.mp_ids >= 0).sum())
+        self._register_kf_db(node)
+
+    def _register_kf_db(self, node: KeyframeNode) -> None:
         # Every keyframe enters the place-recognition database even while
         # detection is disabled (the reference's KeyFrameDatabase likewise
         # receives all keyframes) — detection toggles querying, not indexing.
@@ -535,23 +652,25 @@ class SlamFrontend:
         if resp is not None and len(resp) == len(desc):
             desc = desc[np.argsort(-resp)]
         db = desc[:300].copy()
-        self._loop_db[node.kfid] = db
-        if len(db):
-            bits = np.unpackbits(db, axis=1)
-            self._loop_sigs[node.kfid] = np.packbits(
-                bits.mean(axis=0) >= 0.5)
-            self.kfdb.add(node.kfid, db)
+        with self._lock:
+            self._loop_db[node.kfid] = db
+            if len(db):
+                bits = np.unpackbits(db, axis=1)
+                self._loop_sigs[node.kfid] = np.packbits(
+                    bits.mean(axis=0) >= 0.5)
+                self.kfdb.add(node.kfid, db)
 
     def _local_3d_of(self, node: KeyframeNode) -> np.ndarray:
         """Camera-local 3D per keypoint (0 where unknown) — the
         KeyFrame::GetKeypointInfo contract (reference:
         ORB-SLAM3/src/KeyFrame.cc:1169-1196)."""
         local = np.zeros((len(node.kps_px), 3), np.float32)
-        has = node.mp_ids >= 0
-        if has.any():
-            xyz = self.map.xyz[node.mp_ids[has]]
-            xc = xyz @ node.tcw[:3, :3].T + node.tcw[:3, 3]
-            local[has] = xc.astype(np.float32)
+        with self._lock:
+            has = node.mp_ids >= 0
+            if has.any():
+                xyz = self.map.xyz[node.mp_ids[has]]
+                xc = xyz @ node.tcw[:3, :3].T + node.tcw[:3, 3]
+                local[has] = xc.astype(np.float32)
         return local
 
     def _make_local_ba_op(self, window_nodes, new_points, new_colors, frame,
@@ -560,11 +679,16 @@ class SlamFrontend:
 
         kfs = []
         for node in window_nodes:
-            quat = rotmat_to_quat_numpy(node.tcw[:3, :3])
+            # Snapshot the pose under the lock: scale normalization / loop
+            # correction mutate node.tcw in place on the tracking thread
+            # while the async worker builds ops.
+            with self._lock:
+                tcw = node.tcw.copy()
+            quat = rotmat_to_quat_numpy(tcw[:3, :3])
             is_new = node.kfid == new_node.kfid
             kfs.append(KeyframeData(
                 kfid=node.kfid, camera_id=self.camera.camera_id,
-                quat_wxyz=quat, trans=node.tcw[:3, 3].copy(),
+                quat_wxyz=quat, trans=tcw[:3, 3],
                 image=(image if image is not None else
                        (getattr(frame, "raw_image", frame.image)
                         if frame is not None else None))
@@ -582,7 +706,10 @@ class SlamFrontend:
 
     def _create_keyframe(self, frame, px, desc, mp_of_feat, depth_map):
         """Insert a keyframe: associate tracked points, create new map
-        points, cull, run local BA, emit the LocalMappingBA operation."""
+        points, cull, run local BA, emit the LocalMappingBA operation.
+        With async local mapping the tail (cull/BA/loop/op) moves to the
+        worker thread and this returns None; the map-point INSERT stays
+        synchronous because the very next frame tracks against it."""
         kfid = self._new_kfid()
         mp_ids = mp_of_feat.copy()
         node = KeyframeNode(kfid=kfid, tcw=self.tcw.copy(), kps_px=px,
@@ -593,29 +720,42 @@ class SlamFrontend:
         new_world = np.zeros((0, 3), np.float64)
         new_colors = np.zeros((0, 3), np.float32)
         free = mp_ids < 0
-        if depth_map is not None and free.any():
-            d, ok, u, v = self._depth_at(depth_map, px)
-            sel = np.where(free & ok)[0]
-            if len(sel) > self.max_new_points_per_kf:
-                sel = np.random.RandomState(kfid).choice(
-                    sel, self.max_new_points_per_kf, replace=False)
-            if len(sel):
-                local = self._backproject(px[sel], d[sel])
-                twc = se3_inverse(self.tcw)
-                new_world = local @ twc[:3, :3].T + twc[:3, 3]
-                new_colors = frame.image[:, v[sel], u[sel]].T.astype(
-                    np.float32)
-                ids = self.map.add_points(new_world, desc[sel], new_colors,
-                                          kfid)
-                mp_ids[sel] = ids
-        elif self.sensor == "mono" and free.any():
-            new_world, new_colors = self._triangulate_new_points(
-                node, free)
+        with self._lock:
+            if depth_map is not None and free.any():
+                d, ok, u, v = self._depth_at(depth_map, px)
+                sel = np.where(free & ok)[0]
+                if len(sel) > self.max_new_points_per_kf:
+                    sel = np.random.RandomState(kfid).choice(
+                        sel, self.max_new_points_per_kf, replace=False)
+                if len(sel):
+                    local = self._backproject(px[sel], d[sel])
+                    twc = se3_inverse(self.tcw)
+                    new_world = local @ twc[:3, :3].T + twc[:3, 3]
+                    new_colors = frame.image[:, v[sel], u[sel]].T.astype(
+                        np.float32)
+                    ids = self.map.add_points(new_world, desc[sel],
+                                              new_colors, kfid)
+                    mp_ids[sel] = ids
+            elif self.sensor == "mono" and free.any():
+                new_world, new_colors = self._triangulate_new_points(
+                    node, free)
 
-        self.map.add_keyframe(node)
+            self.map.add_keyframe(node)
+            # Tracking-state updates stay synchronous: the next frame's
+            # matcher keys off last_kfid / ref_tracked. (Must come AFTER
+            # _triangulate_new_points, which matches against the PREVIOUS
+            # keyframe via last_kfid.)
+            self.last_kfid = node.kfid
+            self.live_kf_ids.add(node.kfid)
+            self.frames_since_kf = 0
+            self.ref_tracked = int((node.mp_ids >= 0).sum())
+
+        if self.async_local_mapping:
+            self._kf_jobs.put((self.map, node, frame, new_world, new_colors))
+            return None
         self.map.cull_points(kfid)
         window = self._run_local_ba(node)
-        self._register_kf(node)
+        self._register_kf_db(node)
         return self._make_local_ba_op(window, new_world, new_colors, frame,
                                       node)
 
@@ -674,57 +814,71 @@ class SlamFrontend:
         """Bundle-adjust the given keyframes (first `n_fixed` held fixed) and
         every map point they observe; writes results back into the map.
         Returns False if the problem was too small to solve."""
-        pt_ids = self.map.point_ids_of_kfs(all_ids)
-        if len(pt_ids) < 20:
-            return False
         cam = self.camera
-        # Vectorized observation build (the per-feature Python loop this
-        # replaces cost ~10 ms per BA call at 1000 features x 8 kfs):
-        # mp id -> slot via one searchsorted per keyframe.
-        pt_arr = np.asarray(pt_ids, np.int64)
-        sort_idx = np.argsort(pt_arr)
-        sorted_pt = pt_arr[sort_idx]
-        obs_pose, obs_point, obs_uv, obs_d, obs_w = [], [], [], [], []
-        for kslot, kfid in enumerate(all_ids):
-            kf = self.map.keyframes[kfid]
-            mp = np.asarray(kf.mp_ids, np.int64)
-            pos = np.clip(np.searchsorted(sorted_pt, mp), 0,
-                          len(sorted_pt) - 1)
-            hit = (mp >= 0) & (sorted_pt[pos] == mp)
-            kp_idx = np.nonzero(hit)[0]
-            if len(kp_idx) == 0:
-                continue
-            uv = kf.kps_px[kp_idx]
-            # Depth constraint where the sensor measured it (the role of
-            # ORB-SLAM3's stereo/RGBD BA edges): weight ~ fx/d maps the
-            # depth residual to pixel-comparable units.
-            if kf.depth is not None:
-                u = np.clip(uv[:, 0].astype(np.int64), 0, cam.width - 1)
-                v = np.clip(uv[:, 1].astype(np.int64), 0, cam.height - 1)
-                d = kf.depth[v, u].astype(np.float64)
-            else:
-                d = np.zeros(len(kp_idx))
-            good = (d > self.min_depth) & (d < self.max_depth)
-            obs_pose.append(np.full(len(kp_idx), kslot, np.int64))
-            obs_point.append(sort_idx[pos[kp_idx]])
-            obs_uv.append(uv)
-            obs_d.append(np.where(good, d, 0.0))
-            obs_w.append(np.where(good, cam.fx / np.maximum(d, 1e-9), 0.0))
-        n_obs = sum(len(p) for p in obs_pose)
-        if n_obs < 40:
-            return False
-        poses = np.stack([self.map.keyframes[k].tcw for k in all_ids])
-        _, P, X = local_ba(poses, n_fixed, self.map.xyz[pt_ids],
+        # Observation build + write-back run under the map lock; the native
+        # solve (the expensive part — ctypes releases the GIL) runs outside
+        # it so an async worker's BA never stalls the tracking thread.
+        with self._lock:
+            pt_ids = self.map.point_ids_of_kfs(all_ids)
+            if len(pt_ids) < 20:
+                return False
+            # Vectorized observation build (the per-feature Python loop this
+            # replaces cost ~10 ms per BA call at 1000 features x 8 kfs):
+            # mp id -> slot via one searchsorted per keyframe.
+            pt_arr = np.asarray(pt_ids, np.int64)
+            sort_idx = np.argsort(pt_arr)
+            sorted_pt = pt_arr[sort_idx]
+            obs_pose, obs_point, obs_uv, obs_d, obs_w = [], [], [], [], []
+            for kslot, kfid in enumerate(all_ids):
+                kf = self.map.keyframes[kfid]
+                mp = np.asarray(kf.mp_ids, np.int64)
+                pos = np.clip(np.searchsorted(sorted_pt, mp), 0,
+                              len(sorted_pt) - 1)
+                hit = (mp >= 0) & (sorted_pt[pos] == mp)
+                kp_idx = np.nonzero(hit)[0]
+                if len(kp_idx) == 0:
+                    continue
+                uv = kf.kps_px[kp_idx]
+                # Depth constraint where the sensor measured it (the role of
+                # ORB-SLAM3's stereo/RGBD BA edges): weight ~ fx/d maps the
+                # depth residual to pixel-comparable units.
+                if kf.depth is not None:
+                    u = np.clip(uv[:, 0].astype(np.int64), 0, cam.width - 1)
+                    v = np.clip(uv[:, 1].astype(np.int64), 0, cam.height - 1)
+                    d = kf.depth[v, u].astype(np.float64)
+                else:
+                    d = np.zeros(len(kp_idx))
+                good = (d > self.min_depth) & (d < self.max_depth)
+                obs_pose.append(np.full(len(kp_idx), kslot, np.int64))
+                obs_point.append(sort_idx[pos[kp_idx]])
+                obs_uv.append(uv)
+                obs_d.append(np.where(good, d, 0.0))
+                obs_w.append(np.where(good, cam.fx / np.maximum(d, 1e-9),
+                                      0.0))
+            n_obs = sum(len(p) for p in obs_pose)
+            if n_obs < 40:
+                return False
+            poses = np.stack([self.map.keyframes[k].tcw for k in all_ids])
+            xyz0 = self.map.xyz[pt_ids].copy()
+            version = self._map_version
+            bamap = self.map
+        _, P, X = local_ba(poses, n_fixed, xyz0,
                            np.concatenate(obs_pose),
                            np.concatenate(obs_point),
                            np.concatenate(obs_uv), cam.fx, cam.fy, cam.cx,
                            cam.cy, max_iters=max_iters,
                            obs_depth=np.concatenate(obs_d),
                            obs_depth_weight=np.concatenate(obs_w))
-        for k, kfid in enumerate(all_ids):
-            if k >= n_fixed:
-                self.map.keyframes[kfid].tcw = P[k]
-        self.map.xyz[pt_ids] = X
+        with self._lock:
+            if bamap is not self.map or version != self._map_version:
+                # A whole-map transform (loop correction, scale normalize,
+                # map swap) landed while the solve ran on the old gauge:
+                # discard the stale solution rather than corrupt the map.
+                return False
+            for k, kfid in enumerate(all_ids):
+                if k >= n_fixed:
+                    self.map.keyframes[kfid].tcw = P[k]
+            self.map.xyz[pt_ids] = X
         return True
 
     def _run_local_ba(self, node: KeyframeNode) -> list[KeyframeNode]:
@@ -734,13 +888,14 @@ class SlamFrontend:
         LocalBundleAdjustment optimizes the covisible set — on revisits this
         re-optimizes old keyframes seeing the same structure, which a
         recency window never would)."""
-        covis = self.map.covisible_kfs(node.kfid, min_shared=15)
-        free_ids = sorted({node.kfid, *covis[:self.ba_window - 1]})
-        # Anchors: the strongest covisible keyframes left out of the window,
-        # falling back to the newest non-window keyframes.
-        outside = [k for k in covis if k not in free_ids]
-        outside += [k for k in sorted(self.map.keyframes, reverse=True)
-                    if k not in free_ids and k not in outside]
+        with self._lock:
+            covis = self.map.covisible_kfs(node.kfid, min_shared=15)
+            free_ids = sorted({node.kfid, *covis[:self.ba_window - 1]})
+            # Anchors: the strongest covisible keyframes left out of the
+            # window, falling back to the newest non-window keyframes.
+            outside = [k for k in covis if k not in free_ids]
+            outside += [k for k in sorted(self.map.keyframes, reverse=True)
+                        if k not in free_ids and k not in outside]
         anchor_ids = outside[:2]
         all_ids = anchor_ids + free_ids
         n_fixed = len(anchor_ids)
@@ -752,8 +907,16 @@ class SlamFrontend:
         # keyframes total this makes the BA points-only — fine.
         while n_fixed < min(2, len(all_ids)):
             n_fixed += 1
+        tcw_before = node.tcw.copy()
         if self._run_ba(all_ids, n_fixed):
-            self.tcw = self.map.keyframes[node.kfid].tcw.copy()
+            new_tcw = self.map.keyframes[node.kfid].tcw
+            if threading.current_thread() is self._lm_thread:
+                # The tracking thread owns self.tcw (it has advanced past
+                # this keyframe): hand it the left-multiplicative delta to
+                # apply at the next frame boundary.
+                self._pending_pose_fix = new_tcw @ se3_inverse(tcw_before)
+            else:
+                self.tcw = new_tcw.copy()
         return [self.map.keyframes[k] for k in free_ids]
 
     # ------------------------------------------------------------------
@@ -764,16 +927,29 @@ class SlamFrontend:
         """Descriptor-voting place recognition + PnP verification + SE3
         pose-graph correction (reference: ORB-SLAM3/src/LoopClosing.cc).
 
-        Returns the LoopClosingBA operation if a loop is accepted."""
+        Returns the LoopClosingBA operation if a loop is accepted. (With
+        async local mapping, _verify_loop runs on the worker thread and
+        _apply_loop on the tracking thread at the next frame boundary.)"""
+        found = self._verify_loop(node)
+        if found is None:
+            return None
+        return self._apply_loop(node, *found)
+
+    def _verify_loop(self, node: KeyframeNode) -> Optional[tuple]:
+        """Read-only loop detection: retrieval + descriptor vote + PnP
+        verification. Returns (best_kfid, R, tvec, inliers, ib, obj,
+        matched_pt_ids) for _apply_loop, or None."""
         # Cooldown after a closed loop (the reference skips detection until
         # mnLastLoopKFid + 10, LoopClosing::DetectLoop): the correction
         # already pulled the whole graph; immediate re-detections would spam
         # near-identity LoopClosingBA ops at the mapper.
         if node.kfid < self._last_loop_kfid + 10:
             return None
-        exclude = set([node.kfid] + self.map.covisible_kfs(node.kfid, 5))
-        exclude.update(k for k in self.map.keyframes
-                       if node.kfid - k <= self.ba_window + 4)
+        with self._lock:
+            exclude = set([node.kfid]
+                          + self.map.covisible_kfs(node.kfid, 5))
+            exclude.update(k for k in self.map.keyframes
+                           if node.kfid - k <= self.ba_window + 4)
         best_kfid, best_score = -1, 0
         q = self._loop_db.get(node.kfid)
         qsig = self._loop_sigs.get(node.kfid)
@@ -787,25 +963,27 @@ class SlamFrontend:
         # false loops. Falls back to the majority-bit signature prefilter
         # until the vocabulary has trained. The full ratio-test match costs
         # ~10 ms/pair, so a linear descriptor scan would stall tracking.
-        if self.kfdb.trained:
-            cov_scores = [self.kfdb.score(node.kfid, c)
-                          for c in self.map.covisible_kfs(node.kfid, 15)
-                          if c in self.kfdb]
-            min_score = min(cov_scores) if cov_scores else 0.0
-            thr = max(min_score, self.loop_min_db_score)
-            hits = self.kfdb.query(node.kfid, exclude=exclude, topk=8)
-            cands = [k for k, s in hits if s >= thr][:5]
-            self.loop_debug = {"db_hits": hits[:3], "min_score": min_score}
-        else:
-            cand_ids = [k for k in self._loop_db
-                        if k not in exclude and k != node.kfid
-                        and k in self._loop_sigs]
-            if not cand_ids:
-                return None
-            sigs = np.stack([self._loop_sigs[k] for k in cand_ids])
-            sig_d = _sig_distances(qsig, sigs)
-            cands = [cand_ids[int(j)] for j in np.argsort(sig_d)[:5]]
-            self.loop_debug = {}
+        with self._lock:
+            if self.kfdb.trained:
+                cov_scores = [self.kfdb.score(node.kfid, c)
+                              for c in self.map.covisible_kfs(node.kfid, 15)
+                              if c in self.kfdb]
+                min_score = min(cov_scores) if cov_scores else 0.0
+                thr = max(min_score, self.loop_min_db_score)
+                hits = self.kfdb.query(node.kfid, exclude=exclude, topk=8)
+                cands = [k for k, s in hits if s >= thr][:5]
+                self.loop_debug = {"db_hits": hits[:3],
+                                   "min_score": min_score}
+            else:
+                cand_ids = [k for k in self._loop_db
+                            if k not in exclude and k != node.kfid
+                            and k in self._loop_sigs]
+                if not cand_ids:
+                    return None
+                sigs = np.stack([self._loop_sigs[k] for k in cand_ids])
+                sig_d = _sig_distances(qsig, sigs)
+                cands = [cand_ids[int(j)] for j in np.argsort(sig_d)[:5]]
+                self.loop_debug = {}
         for kfid in cands:
             ia, _ = match_descriptors(q, self._loop_db[kfid], max_dist=45,
                                       ratio=0.85)
@@ -822,17 +1000,21 @@ class SlamFrontend:
                     else self._find_map_of(best_kfid))
         if cand_map is None:
             return None
-        cand = cand_map.keyframes[best_kfid]
-        has_mp = cand.mp_ids >= 0
-        if has_mp.sum() < 20:
-            return None
-        ia, ib = match_descriptors(cand.desc[has_mp], node.desc,
+        with self._lock:
+            cand = cand_map.keyframes[best_kfid]
+            has_mp = cand.mp_ids >= 0
+            if has_mp.sum() < 20:
+                return None
+            cand_desc = cand.desc[has_mp]
+            cand_mp_ids = cand.mp_ids[has_mp].copy()
+        ia, ib = match_descriptors(cand_desc, node.desc,
                                    max_dist=55, ratio=0.85)
         self.loop_debug["geo_matches"] = len(ia)
         if len(ia) < self.loop_min_inliers:
             return None
-        matched_pt_ids = cand.mp_ids[has_mp][ia]
-        obj = cand_map.xyz[matched_pt_ids]
+        matched_pt_ids = cand_mp_ids[ia]
+        with self._lock:
+            obj = cand_map.xyz[matched_pt_ids]
         img = node.kps_px[ib].astype(np.float64)
         ok, rvec, tvec, inliers = cv2.solvePnPRansac(
             obj, img, self.K, None, reprojectionError=5.0,
@@ -842,9 +1024,24 @@ class SlamFrontend:
         if not ok or inliers is None or len(inliers) < self.loop_min_inliers:
             return None
         R, _ = cv2.Rodrigues(rvec)
-        t_corr = np.eye(4)
-        t_corr[:3, :3] = R
-        t_corr[:3, 3] = tvec.ravel()
+        return best_kfid, R, tvec, inliers, ib, obj, matched_pt_ids
+
+    def _apply_loop(self, node: KeyframeNode, best_kfid: int, R: np.ndarray,
+                    tvec: np.ndarray, inliers: np.ndarray, ib: np.ndarray,
+                    obj: np.ndarray,
+                    matched_pt_ids: np.ndarray) -> Optional[MappingOperation]:
+        """Apply a verified loop: Sim3/SE3 pose-graph correction (or map
+        merge) + match fusion + global BA; emits the LoopClosingBA op. This
+        is the whole-map mutation half of LoopClosing::CorrectLoop — with
+        async local mapping it runs on the TRACKING thread at a frame
+        boundary so tracking never races a moving gauge."""
+        if node.kfid not in self.map.keyframes:
+            return None  # map was swapped since verification
+        cand_map = (self.map if best_kfid in self.map.keyframes
+                    else self._find_map_of(best_kfid))
+        if cand_map is None:
+            return None
+        self._map_version += 1  # stale concurrent BA solves must drop
 
         if cand_map is not self.map:
             return self._merge_maps(cand_map, node, best_kfid, R, tvec,
@@ -1036,14 +1233,16 @@ class SlamFrontend:
         one seeded at the last known pose; a later loop-style detection
         against a stashed map merges them (reference: ORB-SLAM3
         Atlas::CreateNewMap when relocalization keeps failing)."""
-        self._old_maps.append(self.map)
-        self.map = LocalMap()
-        self._submap_seed = self.tcw.copy()
-        self._mono_init = None
-        self.velocity = np.eye(4)
-        self.lost_frames = 0
-        self.frames_since_kf = 0
-        self.ref_tracked = 0
+        with self._lock:
+            self._map_version += 1
+            self._old_maps.append(self.map)
+            self.map = LocalMap()
+            self._submap_seed = self.tcw.copy()
+            self._mono_init = None
+            self.velocity = np.eye(4)
+            self.lost_frames = 0
+            self.frames_since_kf = 0
+            self.ref_tracked = 0
 
     def _merge_maps(self, target: LocalMap, node: KeyframeNode,
                     best_kfid: int, R: np.ndarray, tvec: np.ndarray,
@@ -1145,11 +1344,13 @@ class SlamFrontend:
         if 0.2 <= med <= 5.0:
             return None
         s = 1.0 / med
-        self.map.xyz[:n] *= s
-        for kf in self.map.keyframes.values():
-            kf.tcw[:3, 3] *= s
-        self.tcw[:3, 3] *= s
-        self.velocity[:3, 3] *= s
+        with self._lock:
+            self._map_version += 1  # whole-map gauge change
+            self.map.xyz[:n] *= s
+            for kf in self.map.keyframes.values():
+                kf.tcw[:3, 3] *= s
+            self.tcw[:3, 3] *= s
+            self.velocity[:3, 3] *= s
         return MappingOperation(kind=OprType.SCALE_REFINEMENT, scale=s,
                                 transform=np.eye(4, dtype=np.float32))
 
@@ -1169,19 +1370,20 @@ class SlamFrontend:
         resp = self._last_resp
         if resp is not None and len(resp) == len(q):
             q = q[np.argsort(-resp)]
-        if self.kfdb.trained:
-            hits = self.kfdb.query(q[:300], topk=12)
-            cands = [k for k, _ in hits if k in self.map.keyframes][:5]
-        else:
-            qsig = np.packbits(
-                np.unpackbits(q[:300], axis=1).mean(axis=0) >= 0.5)
-            cand_ids = [k for k in self.map.keyframes
-                        if k in self._loop_sigs]
-            if not cand_ids:
-                return False
-            sigs = np.stack([self._loop_sigs[k] for k in cand_ids])
-            sig_d = _sig_distances(qsig, sigs)
-            cands = [cand_ids[int(j)] for j in np.argsort(sig_d)[:5]]
+        with self._lock:
+            if self.kfdb.trained:
+                hits = self.kfdb.query(q[:300], topk=12)
+                cands = [k for k, _ in hits if k in self.map.keyframes][:5]
+            else:
+                qsig = np.packbits(
+                    np.unpackbits(q[:300], axis=1).mean(axis=0) >= 0.5)
+                cand_ids = [k for k in self.map.keyframes
+                            if k in self._loop_sigs]
+                if not cand_ids:
+                    return False
+                sigs = np.stack([self._loop_sigs[k] for k in cand_ids])
+                sig_d = _sig_distances(qsig, sigs)
+                cands = [cand_ids[int(j)] for j in np.argsort(sig_d)[:5]]
         best_kfid, best_matches = -1, None
         for kfid in cands:
             kf = self.map.keyframes[kfid]
@@ -1198,8 +1400,9 @@ class SlamFrontend:
         ia, ib, has = best_matches
         if len(ia) < 20:
             return False
-        kf = self.map.keyframes[best_kfid]
-        obj = self.map.xyz[kf.mp_ids[has][ia]]
+        with self._lock:
+            kf = self.map.keyframes[best_kfid]
+            obj = self.map.xyz[kf.mp_ids[has][ia]]
         img = px[ib].astype(np.float64)
         ok, rvec, tvec, inliers = cv2.solvePnPRansac(
             obj, img, self.K, None, reprojectionError=5.0,
@@ -1250,7 +1453,13 @@ class SlamFrontend:
 
         t0 = _time.perf_counter()
         try:
-            return self._process_frame(frame)
+            # Worker results (queued ops, BA pose fix, verified loop) land
+            # at the frame boundary, BEFORE this frame's pose prediction —
+            # so tracking never races a moving gauge mid-frame.
+            ops = (self._apply_pending() if self.async_local_mapping
+                   else [])
+            ops.extend(self._process_frame(frame))
+            return ops
         finally:
             # Per-frame tracking wall time (the reference's TrackingTime.txt,
             # examples/replica_rgbd.cpp:164-172).
@@ -1331,8 +1540,11 @@ class SlamFrontend:
         if self.sensor != "mono" and depth_map is None:
             return []
         op = self._create_keyframe(frame, px, desc, mp_of_feat, depth_map)
-        ops = [op]
-        if self.enable_loop_closing:
+        ops = [op] if op is not None else []
+        # With async local mapping the worker thread runs loop RETRIEVAL +
+        # verification per keyframe; the tracking thread applies the result
+        # at the next frame boundary (_apply_pending).
+        if self.enable_loop_closing and not self.async_local_mapping:
             loop_op = self._detect_loop(
                 self.map.keyframes[self.last_kfid])
             if loop_op is not None:
@@ -1351,8 +1563,21 @@ class SlamFrontend:
                                else float(len(self.trajectory) - 1))
 
     def run(self, frames, push) -> None:
-        """Drive the whole sequence, pushing ops to the mapper queue."""
-        for frame in frames:
-            for op in self.process_frame(frame):
-                push(op)
+        """Drive the whole sequence, pushing ops to the mapper queue. With
+        async local mapping the worker emits its LocalMappingBA ops straight
+        into `push` (it must be thread-safe — queue.Queue in the apps)."""
+        self._push_cb = push
+        try:
+            for frame in frames:
+                for op in self.process_frame(frame):
+                    push(op)
+            if self.async_local_mapping:
+                # Drain the worker so the final trajectory includes the last
+                # BA, then apply/emit whatever it left pending.
+                self.flush()
+                for op in self._apply_pending():
+                    push(op)
+        finally:
+            self._push_cb = None
+            self.close()
         self.done = True

@@ -202,6 +202,54 @@ class TestMonocular:
                 assert kf.aux_image is None
 
 
+class TestAsyncLocalMapping:
+    """Async local mapping: the keyframe tail (cull + local BA + loop
+    verification + op emission) runs on a worker thread, the reference's
+    LocalMapping-thread architecture (ORB-SLAM3/src/System.cc:194-213).
+    Contract: identical op payloads and equally accurate poses as sync."""
+
+    def test_async_pose_and_ops_match_sync(self, rgbd_sequence):
+        cam, frames, gt = rgbd_sequence
+        fe = SlamFrontend(cam, sensor="rgbd", kf_min_interval=1,
+                          kf_tracked_ratio=2.0, enable_loop_closing=False,
+                          async_local_mapping=True)
+        ops = []
+        try:
+            fe.run(iter(frames), ops.append)  # run() flushes + closes
+        finally:
+            fe.close()
+        assert fe.done
+        assert len(ops) >= 3
+        for op in ops:
+            assert op.kind == OprType.LOCAL_MAPPING_BA
+            new_kfs = [k for k in op.keyframes if k.image is not None]
+            assert len(new_kfs) == 1  # exactly one full-payload keyframe
+            assert new_kfs[0].kps_pixel is not None
+        assert len(ops[0].points) > 50
+        err = [np.abs(se3_log_numpy(fe.trajectory[i]
+                                    @ se3_inverse(gt[i]))).max()
+               for i in range(len(gt))]
+        assert max(err) < 0.03, f"pose errors {err}"
+
+    def test_worker_exception_surfaces(self, rgbd_sequence):
+        cam, frames, _ = rgbd_sequence
+        fe = SlamFrontend(cam, sensor="rgbd", kf_min_interval=1,
+                          kf_tracked_ratio=2.0, enable_loop_closing=False,
+                          async_local_mapping=True)
+        try:
+            fe.process_frame(frames[0])
+            fe.flush()
+            # Sabotage the worker's BA path; the error must not be
+            # swallowed silently.
+            fe._run_local_ba = None  # type: ignore[assignment]
+            fe.process_frame(frames[1])
+            fe.process_frame(frames[2])
+            with pytest.raises(TypeError):
+                fe.flush()
+        finally:
+            fe.close()
+
+
 class TestRelocalization:
     def test_recovers_after_blackout(self, rgbd_sequence):
         cam, frames, gt = rgbd_sequence

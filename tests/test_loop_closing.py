@@ -365,3 +365,49 @@ class TestLoopClosing:
         mapper.run(is_tracker_done=lambda: True, max_iterations=6)
         assert mapper.initial_mapped
         assert mapper.loop_closure_iteration or mapper.trainer.iteration > 0
+
+    def test_async_worker_detects_and_corrects_drift(self, pan_loop):
+        """Async local mapping splits loop closing across threads (the
+        reference's LoopClosing-thread architecture): the worker runs
+        retrieval + PnP verification, the tracking thread applies the
+        pose-graph correction at the next frame boundary. The injected
+        drift must still come out."""
+        cv2.setRNGSeed(7)
+        cam, frames, _ = pan_loop
+        fe = SlamFrontend(cam, sensor="rgbd", kf_min_interval=1,
+                          kf_tracked_ratio=2.0, ba_window=4,
+                          enable_loop_closing=True,
+                          loop_min_score=40, loop_min_inliers=20,
+                          async_local_mapping=True)
+        try:
+            fe.enable_loop_closing = False
+            for fr in frames[:9]:
+                fe.process_frame(fr)
+            fe.flush()  # drain the worker before mutating the map
+            n_out = len(fe.map.keyframes)
+            assert n_out >= 6
+            mid = sorted(fe.map.keyframes)[n_out - 2]
+            _drift_late_keyframes(fe, mid,
+                                  np.array([0.5, -0.3, 0.4, 0, 0, 0.08]))
+            fe.enable_loop_closing = True
+            loop_ops = []
+            for fr in frames[9:]:
+                for op in fe.process_frame(fr):
+                    if op.kind == OprType.LOOP_CLOSING_BA:
+                        loop_ops.append(op)
+            # A loop verified on the very last keyframe is still pending.
+            fe.flush()
+            loop_ops += [op for op in fe._apply_pending()
+                         if op.kind == OprType.LOOP_CLOSING_BA]
+            assert fe.num_loops_closed >= 1, "loop was not detected"
+            assert loop_ops, "no LoopClosingBA operation emitted"
+            first = sorted(fe.map.keyframes)[0]
+            loop_kf = max(k.kfid for k in loop_ops[0].keyframes
+                          if k.is_loop_kf)
+            rel = (fe.map.keyframes[loop_kf].tcw
+                   @ se3_inverse(fe.map.keyframes[first].tcw))
+            xi = se3_log_numpy(rel)
+            assert np.abs(xi[:3]).max() < 0.15, (
+                f"loop not closed: residual {xi}")
+        finally:
+            fe.close()

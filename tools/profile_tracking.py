@@ -4,7 +4,11 @@ stage breakdown (ORB extraction / local-map matching / PnP+motion BA /
 keyframe work) — the budget behind run_summary.json's mean_tracking_ms
 (reference: the real-time tracking thread, examples/replica_rgbd.cpp:133-173).
 
-Usage: python tools/profile_tracking.py [data_dir] [n_frames]
+Usage: python tools/profile_tracking.py [data_dir] [n_frames] [--async]
+
+--async runs local mapping (cull + local BA + loop verify) on the worker
+thread, the app default — the keyframe-tail stages then cost the tracking
+thread almost nothing and their totals report WORKER time.
 """
 import sys
 import time
@@ -13,14 +17,17 @@ import numpy as np
 
 
 def main():
-    data = sys.argv[1] if len(sys.argv) > 1 else "/tmp/synth_replica"
-    n_frames = int(sys.argv[2]) if len(sys.argv) > 2 else 120
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    async_mode = "--async" in sys.argv
+    data = args[0] if args else "/tmp/synth_replica"
+    n_frames = int(args[1]) if len(args) > 1 else 120
 
     from photo_slam_tpu.io.datasets import ReplicaDataset
     from photo_slam_tpu.tracking.frontend import SlamFrontend
 
     ds = ReplicaDataset(data)
-    fe = SlamFrontend(ds.camera, sensor="rgbd", num_features=1000)
+    fe = SlamFrontend(ds.camera, sensor="rgbd", num_features=1000,
+                      async_local_mapping=async_mode)
 
     # Wrap the stage methods with timers.
     stages = {"extract": 0.0, "track_local_map": 0.0, "pose": 0.0,
@@ -49,10 +56,12 @@ def main():
         n += 1
         if n >= n_frames:
             break
+    fe.flush()
+    fe.close()
 
     tt = np.array(fe.track_times) * 1000.0
     print(f"frames={n} kfs={len(fe.map.keyframes)} "
-          f"points={int(fe.map.alive.sum())}")
+          f"points={int(fe.map.alive.sum())} async={async_mode}")
     print(f"per-frame ms: mean {tt.mean():.1f}  median "
           f"{np.median(tt):.1f}  p90 {np.percentile(tt, 90):.1f}  "
           f"max {tt.max():.1f}")

@@ -103,15 +103,34 @@ def densify_and_prune(
     smax = jnp.max(scales, axis=-1)
     opac = jax.nn.sigmoid(p.opacity_logit[:, 0])
 
-    hot = live & (grads >= grad_threshold)
-    clone = hot & (smax <= percent_dense * extent)
-    split = hot & (smax > percent_dense * extent)
-
     prune_old = opac < min_opacity
     if max_screen_size:
         prune_old = prune_old | (state.max_radii2d > max_screen_size) | (
             smax > 0.1 * extent)
     prune_old = prune_old & live
+
+    hot = live & ~prune_old & (grads >= grad_threshold)
+    clone = hot & (smax <= percent_dense * extent)
+    split = hot & (smax > percent_dense * extent)
+
+    # Capacity budget: each approved clone or split occupies one NET free
+    # slot (a split kills its parent but places two children). Approving at
+    # most `budget` candidates — highest accumulated gradient first when
+    # slots are scarce — guarantees every clone copy / split child places.
+    # Without this gate an at-capacity split killed the parent and then
+    # DROPPED both children (no dead slot to scatter into), destroying
+    # converged content on every densify event; the torch reference never
+    # drops (it concatenates grown tensors, src/gaussian_model.cpp:716-831),
+    # so parity at fixed capacity requires split-kills to be conditional on
+    # placement.
+    budget = jnp.sum((~live | prune_old).astype(jnp.int32))
+    want = clone | split
+    order = jnp.argsort(jnp.where(want, -grads, jnp.inf))
+    inv_rank = jnp.zeros(cap, jnp.int32).at[order].set(
+        jnp.arange(cap, dtype=jnp.int32))
+    approved = want & (inv_rank < budget)
+    clone = clone & approved
+    split = split & approved
 
     kill = live & (split | prune_old)
     survivors = live & ~kill
@@ -128,23 +147,17 @@ def densify_and_prune(
     child_xyz_2 = make_child(k2)
     child_log_scales = jnp.log(scales / SPLIT_SCALE_DIV)
 
-    # Arrival pruning for candidates (they're appended before the prune in
-    # the reference, so the same mask applies to their values; their
-    # max_radii2D is 0 so only opacity/world-size terms matter).
-    cand_opac_prune = opac < min_opacity
-    child_big = (
-        (jnp.max(scales / SPLIT_SCALE_DIV, axis=-1) > 0.1 * extent)
-        if max_screen_size else jnp.zeros(cap, bool)
-    )
-    clone_big = (smax > 0.1 * extent) if max_screen_size else jnp.zeros(cap, bool)
-
+    # Arrival pruning (the reference appends candidates before pruning the
+    # concatenated array) is vacuous here: `hot` already excludes prune_old,
+    # which covers every arrival-prune term (opacity < min, and — when the
+    # screen-size prune is on — the parent of any world-big child/copy is
+    # itself world-big).
     # Candidate A: clone copy (for clones) or first split child.
-    a_valid = (clone & ~(cand_opac_prune | clone_big)) | (
-        split & ~(cand_opac_prune | child_big))
+    a_valid = clone | split
     a_xyz = jnp.where(split[:, None], child_xyz_1, p.xyz)
     a_log_scales = jnp.where(split[:, None], child_log_scales, p.log_scales)
     # Candidate B: second split child.
-    b_valid = split & ~(cand_opac_prune | child_big)
+    b_valid = split
     b_xyz = child_xyz_2
     b_log_scales = child_log_scales
 

@@ -247,7 +247,10 @@ class TestDensify:
         assert int(info.num_pruned) == 1
         assert not bool(s2.live[1])
 
-    def test_capacity_overflow_drops(self):
+    def test_capacity_limit_throttles_clones(self):
+        # 14 live, 2 free slots, everyone wants cloning: exactly 2 clones
+        # are approved against the slot budget and NOTHING is dropped (the
+        # pre-budget behavior placed 2 and silently dropped 12).
         state, _, _ = make_state(n=14, cap=16)
         params = state.params._replace(log_scales=jnp.full((16, 3), -5.0))
         state = state._replace(params=params)
@@ -257,9 +260,55 @@ class TestDensify:
             state, ostate, jax.random.PRNGKey(0), grad_threshold=0.5,
             min_opacity=0.005, extent=100.0, max_screen_size=0,
             percent_dense=0.01)
-        assert int(info.num_cloned) == 14
+        assert int(info.num_cloned) == 2
         assert int(gm.num_live(s2)) == 16  # capped
-        assert int(info.num_dropped) == 12
+        assert int(info.num_dropped) == 0
+
+    def test_at_capacity_split_keeps_parents(self):
+        # Regression for the capacity-starvation destruction bug: at full
+        # capacity a split used to kill the parent and then DROP both
+        # children (no dead slot to place them), erasing converged content
+        # every densify event. With the slot budget, zero splits are
+        # approved and the map is untouched.
+        state, _, _ = make_state(n=16, cap=16)
+        params = state.params._replace(log_scales=jnp.zeros((16, 3)))
+        state = state._replace(params=params)
+        state = self._stats(state, 1.0)
+        ostate = opt.init_adam(state.params)
+        s2, _, info = dz.densify_and_prune(
+            state, ostate, jax.random.PRNGKey(0), grad_threshold=0.5,
+            min_opacity=0.005, extent=1.0, max_screen_size=0,
+            percent_dense=0.01)
+        assert int(info.num_split) == 0
+        assert int(info.num_dropped) == 0
+        assert int(gm.num_live(s2)) == 16
+        np.testing.assert_array_equal(np.asarray(s2.params.xyz),
+                                      np.asarray(state.params.xyz))
+
+    def test_scarce_slots_go_to_highest_gradient(self):
+        # 14 live (2 free slots), all split-worthy, graded gradients: the
+        # budget must approve the two HIGHEST-gradient parents, kill only
+        # them, and place all four of their children.
+        state, _, _ = make_state(n=14, cap=16)
+        params = state.params._replace(log_scales=jnp.zeros((16, 3)))
+        state = state._replace(params=params)
+        g = jnp.tile(jnp.arange(16, dtype=jnp.float32)[:, None], (1, 2))
+        state = dz.add_densification_stats(state, g, state.live)
+        ostate = opt.init_adam(state.params)
+        s2, _, info = dz.densify_and_prune(
+            state, ostate, jax.random.PRNGKey(0), grad_threshold=0.5,
+            min_opacity=0.005, extent=1.0, max_screen_size=0,
+            percent_dense=0.01)
+        assert int(info.num_split) == 2
+        assert int(info.num_dropped) == 0
+        assert int(gm.num_live(s2)) == 16
+        # The two highest-gradient parents (slots 12, 13) were the splits:
+        # their slots (and the two free ones) now hold children at the
+        # split scale, while the lower-gradient parents are untouched.
+        ls = np.asarray(s2.params.log_scales)
+        np.testing.assert_allclose(ls[12:16], np.log(1.0 / 1.6), rtol=1e-5)
+        np.testing.assert_array_equal(
+            np.asarray(s2.params.xyz)[:12], np.asarray(state.params.xyz)[:12])
 
     def test_reset_opacity(self):
         state, _, _ = make_state(n=4, cap=8)

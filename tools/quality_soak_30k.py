@@ -121,6 +121,11 @@ def main():
     pts, _ = bench.room_scene(n, rng)
     rng.rand(3, height, width)  # keep the rng stream aligned with bench.py
     cap = n
+    # The trained model gets headroom over the GT-world size: the reference
+    # never caps its map (torch tensors grow, src/gaussian_model.cpp:716),
+    # and a 300k-budget fit of a 300k-splat world stalls densification the
+    # moment it fills. 1.5x is comfortably inside v5e HBM at this scale.
+    cap_train = int(os.environ.get("SOAK_CAPACITY", str(n * 3 // 2)))
 
     def make_settings(max_per_tile):
         return RenderSettings(
@@ -209,7 +214,7 @@ def main():
         init_pts = pts[sel] + rng.randn(m_sub, 3).astype(np.float32) * 0.01
         init_cols = np.full((m_sub, 3), 0.5, np.float32)
         state = gm.create_from_pcd(init_pts, init_cols, sh_degree=3,
-                                   capacity=cap)
+                                   capacity=cap_train)
         opt_state = optim.init_adam(state.params)
         start_i = 0
         key = jax.random.PRNGKey(0)

@@ -379,10 +379,12 @@ class GaussianTrainer:
                                 allow_opacity_reset: bool = True
                                 ) -> dict[str, Any]:
         """One multi-view optimization step over B keyframes (all at full
-        resolution with a shared camera). Single-chip this fuses B view
-        losses into one mean-gradient step; under a device mesh the batch
-        axis shards across chips (parallel/sharding.py) — capability beyond
-        the reference's strictly sequential per-view iterations."""
+        resolution with a shared camera). Single-chip the B views run as a
+        gradient-accumulation scan (per-view cost == the single-view step,
+        one shared Adam update — a gradient-noise reducer, not a speedup);
+        under a device mesh the batch axis shards one view per chip
+        (parallel/sharding.py) — capability beyond the reference's strictly
+        sequential per-view iterations."""
         import jax.numpy as jnp
 
         from photo_slam_tpu.ops.camera_math import CameraMatrices

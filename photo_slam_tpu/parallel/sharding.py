@@ -4,15 +4,20 @@ The reference is strictly single-GPU (SURVEY.md §2.6); this module is new
 capability, designed TPU-first: the natural SPMD axis for online GS mapping is
 the *view batch* — every chip renders and differentiates a different keyframe
 of the same (replicated) Gaussian map, and gradients reduce over ICI before
-the shared Adam step. One batched step therefore does B view-optimizations
-per iteration (the reference does 1), which is both a throughput multiplier
-and a gradient-noise reducer.
+the shared Adam step.
 
   mesh axes:  ("dp",)  — data parallel over keyframes
   params:     replicated
-  cams/gt:    sharded on the batch axis
-  loss/grads: psum over "dp" (inserted automatically by XLA through the
-              replicated-output sharding constraint)
+  cams/gt:    sharded on the batch axis (shard_map, B divisible by mesh)
+  loss/grads: explicit psum over "dp"; per-chip views run as a
+              gradient-accumulation scan at single-view kernel shapes
+
+Cost model (measured single-chip, BENCH_r03 vs r04): a vmap over views ran
+the whole fan of renders+backwards at B-wide shapes and cost ~2x per view;
+the scan keeps per-view cost at the single-view step rate, so B views cost
+~B single-view steps locally and ~1 step per chip across the mesh. The
+batch is a gradient-noise reducer and a multi-chip throughput axis, not a
+single-chip speedup.
 
 Densify/prune runs on the replicated state (identical on every chip — the
 PRNG key is replicated, so no divergence).
@@ -71,9 +76,57 @@ def batched_loss(state: gm.GaussianState, cams: CameraMatrices,
     return total
 
 
+def _accumulate_view_grads(params, live, offset0, cams, gt_images, masks,
+                           bg_color, lambda_dssim, settings):
+    """Scanned per-view value_and_grad with gradient accumulation.
+
+    The scan keeps every render/backward at its SINGLE-view shapes: a vmap
+    over views made the binning sort, Pallas grids and the whole backward
+    liveness B-wide at once, which measured ~2x the per-view cost of the
+    single-view step on one chip (BENCH_r03: 9.22 views/s at B=4 vs 18.97
+    it/s at B=1). One chip executes views sequentially either way — scanning
+    makes that explicit and reuses the exact single-view program shapes.
+
+    Returns (loss_sum, grad_sum, g2d_sum, visible_any, radii_max) over the
+    views in this shard.
+    """
+
+    def one_view(p, m2d, cam, gt, mask):
+        scales, quats, opac = gm.activated(p)
+        shs = gm.sh_features(p)
+        res = render(p.xyz, scales, quats, opac, cam, settings, bg_color,
+                     shs=shs, live_mask=live, means2d_offset=m2d)
+        masked = res.image * mask[None]
+        loss = (1.0 - lambda_dssim) * losses.l1_loss(masked, gt) + (
+            lambda_dssim * (1.0 - losses.ssim(masked, gt)))
+        return loss, (res.radii, res.visible)
+
+    vg = jax.value_and_grad(one_view, argnums=(0, 1), has_aux=True)
+    cap = live.shape[0]
+
+    def body(carry, xs):
+        cam, gt, mask = xs
+        (loss, (radii, visible)), (g, g2d) = vg(params, offset0, cam, gt,
+                                                mask)
+        loss_s, g_s, g2d_s, vis_s, rad_s = carry
+        return (loss_s + loss,
+                jax.tree.map(jnp.add, g_s, g),
+                g2d_s + g2d,
+                vis_s | visible,
+                jnp.maximum(rad_s, radii)), None
+
+    init = (jnp.float32(0.0),
+            jax.tree.map(jnp.zeros_like, params),
+            jnp.zeros((cap, 2), jnp.float32),
+            jnp.zeros(cap, bool),
+            jnp.zeros(cap, jnp.int32))
+    carry, _ = jax.lax.scan(body, init, (cams, gt_images, masks))
+    return carry
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("settings",),
+    static_argnames=("settings", "mesh"),
     donate_argnames=("state", "opt_state"),
 )
 def train_step_batched(
@@ -86,18 +139,50 @@ def train_step_batched(
     bg_color: jnp.ndarray,
     lambda_dssim: jnp.ndarray,
     settings: RenderSettings,
+    mesh: Mesh | None = None,
 ):
-    """One multi-view optimization step (B views, mean gradient)."""
-    total = batched_loss(state, cams, gt_images, masks, bg_color,
-                         lambda_dssim, settings)
+    """One multi-view optimization step (B views, mean gradient).
+
+    Without a mesh the B views scan sequentially on the local chip (per-view
+    cost == the single-view step, with one shared Adam update). With a mesh,
+    the batch axis splits over "dp" via shard_map — each chip scans its own
+    B/n_devices views and gradients/stats reduce over ICI (psum/pmax). B
+    must divide by the mesh size.
+    """
     offset0 = jnp.zeros((state.capacity, 2), jnp.float32)
-    (loss, (radii_b, visible_b)), (grads, g2d) = jax.value_and_grad(
-        total, argnums=(0, 1), has_aux=True)(state.params, offset0)
+    b = gt_images.shape[0]
+    if mesh is None:
+        loss_s, grads_s, g2d_s, visible, radii = _accumulate_view_grads(
+            state.params, state.live, offset0, cams, gt_images, masks,
+            bg_color, lambda_dssim, settings)
+    else:
+        from jax import shard_map
+
+        def shard_fn(params, live, off, cams_l, gts_l, masks_l, bg_l, lam_l):
+            loss_s, g_s, g2d_s, vis, rad = _accumulate_view_grads(
+                params, live, off, cams_l, gts_l, masks_l, bg_l, lam_l,
+                settings)
+            return (jax.lax.psum(loss_s, "dp"),
+                    jax.tree.map(lambda x: jax.lax.psum(x, "dp"), g_s),
+                    jax.lax.psum(g2d_s, "dp"),
+                    jax.lax.psum(vis.astype(jnp.int32), "dp") > 0,
+                    jax.lax.pmax(rad, "dp"))
+
+        loss_s, grads_s, g2d_s, visible, radii = shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(), P(), P(), P("dp"), P("dp"), P("dp"), P(), P()),
+            out_specs=(P(), P(), P(), P(), P()),
+            check_vma=False,
+        )(state.params, state.live, offset0, cams, gt_images, masks,
+          bg_color, lambda_dssim)
+
+    inv_b = jnp.float32(1.0 / b)
+    loss = loss_s * inv_b
+    grads = jax.tree.map(lambda x: x * inv_b, grads_s)
+    g2d = g2d_s * inv_b
 
     # Stats: a Gaussian is visible if visible in ANY view; radii take the max;
     # the view-space grad accumulates the batch-mean like the loss gradient.
-    visible = jnp.any(visible_b, axis=0)
-    radii = jnp.max(radii_b, axis=0)
     state = dz.update_max_radii(state, radii, visible)
     state = dz.add_densification_stats(state, g2d, visible,
                                        settings.width, settings.height)

@@ -127,13 +127,14 @@ class TestMultichip:
             st = jax.tree.map(jnp.copy, state)
             opt = optim.init_adam(st.params)
             c, g, m = cams, gts, masks
+            mesh = None
             if shard:
                 mesh = make_mesh(8)
                 st = replicate(mesh, st)
                 opt = replicate(mesh, opt)
                 c, g, m = shard_batch_args(mesh, cams, gts, masks)
             st, opt, metrics = train_step_batched(
-                st, opt, c, g, m, lrs, bg, lam, settings)
+                st, opt, c, g, m, lrs, bg, lam, settings, mesh=mesh)
             return st, opt, float(metrics["loss"])
 
         st1, opt1, loss1 = run(shard=False)

@@ -20,9 +20,8 @@ import numpy as np
 from photo_slam_tpu.io.images import load_depth, load_image_chw
 from photo_slam_tpu.models.camera import PINHOLE, Camera
 from photo_slam_tpu.tracking.gt_tracker import Frame
-from photo_slam_tpu.utils.math import quat_to_rotmat, rotmat_to_quat
-
-import jax.numpy as jnp
+from photo_slam_tpu.utils.math import (quat_to_rotmat_numpy,
+                                       rotmat_to_quat_numpy)
 
 
 @dataclass
@@ -92,7 +91,7 @@ class ReplicaDataset:
             if self.poses is not None:
                 c2w = self.poses[i]
                 w2c = np.linalg.inv(c2w)
-                quat = np.asarray(rotmat_to_quat(jnp.asarray(w2c[:3, :3])))
+                quat = rotmat_to_quat_numpy(w2c[:3, :3])
                 trans = w2c[:3, 3]
             yield Frame(image=img, quat_wxyz=quat, trans=trans, depth=depth,
                         filename=rgb_path.name)
@@ -159,13 +158,13 @@ class TumDataset:
         vals = [float(x) for x in self.gt[i][1]]
         t_wc = np.array(vals[0:3])
         qx, qy, qz, qw = vals[3:7]
-        from photo_slam_tpu.utils.math import quat_to_rotmat, se3_inverse
-        R_wc = np.asarray(quat_to_rotmat(jnp.asarray([qw, qx, qy, qz])))
+        from photo_slam_tpu.utils.math import se3_inverse
+        R_wc = quat_to_rotmat_numpy(np.array([qw, qx, qy, qz]))
         Twc = np.eye(4)
         Twc[:3, :3] = R_wc
         Twc[:3, 3] = t_wc
         Tcw = se3_inverse(Twc)
-        return (np.asarray(rotmat_to_quat(jnp.asarray(Tcw[:3, :3]))),
+        return (rotmat_to_quat_numpy(Tcw[:3, :3]),
                 Tcw[:3, 3])
 
     def frames(self) -> Iterator[Frame]:
@@ -271,8 +270,8 @@ class EurocDataset:
                 for r in arr:
                     q = np.array([r[4], r[5], r[6], r[7]])  # w x y z
                     T = np.eye(4)
-                    T[:3, :3] = np.asarray(quat_to_rotmat(
-                        jnp.asarray(q / np.linalg.norm(q))))
+                    T[:3, :3] = quat_to_rotmat_numpy(
+                        q / np.linalg.norm(q))
                     T[:3, 3] = r[1:4]
                     mats.append(T)
                 self.gt_T_WB = np.stack(mats)
@@ -352,7 +351,7 @@ class EurocDataset:
         T_WCr = T_WC.copy()
         T_WCr[:3, :3] = T_WC[:3, :3] @ self.R1.T
         T_CrW = np.linalg.inv(T_WCr)
-        q = np.asarray(rotmat_to_quat(jnp.asarray(T_CrW[:3, :3])))
+        q = rotmat_to_quat_numpy(T_CrW[:3, :3])
         return q, T_CrW[:3, 3]
 
     def frames(self) -> Iterator[Frame]:

@@ -45,7 +45,8 @@ from photo_slam_tpu.models.scene import Scene
 from photo_slam_tpu.ops import depth_ops
 from photo_slam_tpu.ops.camera_math import build_camera_matrices
 from photo_slam_tpu.ops.render import RenderSettings, render_jit
-from photo_slam_tpu.utils.math import quat_to_rotmat, rotmat_to_quat, se3_inverse, se3_matrix
+from photo_slam_tpu.utils.math import (quat_to_rotmat, rotmat_to_quat_numpy,
+                                       se3_inverse, se3_matrix)
 
 
 class SensorType(Enum):
@@ -173,7 +174,7 @@ class GaussianMapper:
             twc = se3_inverse(se3_matrix(kf.quat, kf.trans))
             twc[:3, 3] *= s
             tcy = se3_inverse(T.astype(np.float64) @ twc)
-            kf.set_pose(rotmat_to_quat(jnp.asarray(tcy[:3, :3])), tcy[:3, 3])
+            kf.set_pose(rotmat_to_quat_numpy(tcy[:3, :3]), tcy[:3, 3])
 
     def _add_op_points(self, op: MappingOperation) -> None:
         if op.points.shape[0] == 0:

@@ -29,7 +29,7 @@ from photo_slam_tpu.mapper.mapping_ops import (KeyframeData, MappingOperation,
                                                OprType)
 from photo_slam_tpu.models.camera import Camera
 from photo_slam_tpu.tracking.gt_tracker import Frame
-from photo_slam_tpu.utils.math import rotmat_to_quat, se3_inverse
+from photo_slam_tpu.utils.math import rotmat_to_quat_numpy, se3_inverse
 
 import jax.numpy as jnp
 
@@ -235,7 +235,7 @@ class OrbVoTracker:
         self.live_kf_ids.add(kfid)
 
         tcw = res.tcw
-        quat = np.asarray(rotmat_to_quat(jnp.asarray(tcw[:3, :3])))
+        quat = rotmat_to_quat_numpy(tcw[:3, :3])
         px = self.ref.keypoints_px
         ok = self.ref.has_depth
         # Camera-local 3D for keypoints with depth (GetKeypointInfo contract).

@@ -176,3 +176,28 @@ class TestStereoPairing:
         assert float(dropped_ts) * 1e-9 not in [round(t, 9) for t in times]
         for f in got:
             assert f.right is not None and f.right.shape == f.image.shape
+
+
+class TestSynthEurocGenerator:
+    def test_sensor_yaml_parses_through_loader(self, tmp_path):
+        """tools/gen_synth_euroc's sensor.yaml must round-trip through the
+        loader's dependency-free parser (the soak's stereo sequence uses
+        it; a format drift would silently disable calibrated
+        rectification)."""
+        import sys
+        sys.path.insert(0, str(Path(__file__).resolve().parent.parent
+                               / "tools"))
+        from gen_synth_euroc import (BASELINE, FX, FY, HEIGHT, WIDTH,
+                                     sensor_yaml)
+
+        from photo_slam_tpu.io.datasets import _parse_euroc_sensor_yaml
+
+        t_bs = np.eye(4)
+        t_bs[0, 3] = BASELINE
+        p = tmp_path / "sensor.yaml"
+        p.write_text(sensor_yaml(t_bs))
+        cal = _parse_euroc_sensor_yaml(p)
+        assert cal["intrinsics"] == [FX, FY, WIDTH / 2, HEIGHT / 2]
+        assert cal["resolution"] == [WIDTH, HEIGHT]
+        assert cal["distortion"] == [0.0, 0.0, 0.0, 0.0]
+        np.testing.assert_allclose(cal["T_BS"], t_bs, atol=1e-9)

@@ -191,6 +191,21 @@ class GaussianTrainer:
         """createFromPcd + trainingSetup
         (reference: src/gaussian_mapper.cpp:480-489)."""
         self.spatial_lr_scale = self.scene.compute_nerfpp_norm()
+        # Degenerate-camera floor: getNerfppNorm measures CAMERA spread,
+        # which matches scene scale only because real sequences roam the
+        # scene. A near-stationary camera (synthetic orbits, tripod-style
+        # captures) yields an extent far below the scene radius, and then
+        # percent_dense * extent drops below the median splat size — every
+        # gradient spike (e.g. post-opacity-reset) mass-splits the map into
+        # shards (measured: ~7k splits/event steady-state, quality pinned
+        # ~7 dB). When cameras clearly don't span the scene, floor the
+        # extent with the observed point-cloud radius.
+        if len(points):
+            pt_radius = 1.1 * float(np.percentile(
+                np.linalg.norm(points - points.mean(0), axis=1), 95))
+            if self.scene.cameras_extent < 0.25 * pt_radius:
+                self.scene.cameras_extent = pt_radius
+                self.spatial_lr_scale = pt_radius
         cap = gm.round_capacity(points.shape[0] * 2,
                                 minimum=self.cfg.renderer.initial_capacity)
         self.state = gm.create_from_pcd(points, colors,

@@ -107,7 +107,14 @@ def densify_and_prune(
     if max_screen_size:
         prune_old = prune_old | (state.max_radii2d > max_screen_size) | (
             smax > 0.1 * extent)
-    prune_old = prune_old & live
+    # Non-finite zombies: NaN params fail every comparison, so they neither
+    # rasterize nor prune and accumulate forever (observed +5/1200 iters in
+    # the 30k soak). Cull them explicitly.
+    finite = (jnp.isfinite(p.xyz).all(-1)
+              & jnp.isfinite(p.log_scales).all(-1)
+              & jnp.isfinite(p.quats).all(-1)
+              & jnp.isfinite(p.opacity_logit).all(-1))
+    prune_old = (prune_old | ~finite) & live
 
     hot = live & ~prune_old & (grads >= grad_threshold)
     clone = hot & (smax <= percent_dense * extent)

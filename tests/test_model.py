@@ -310,6 +310,23 @@ class TestDensify:
         np.testing.assert_array_equal(
             np.asarray(s2.params.xyz)[:12], np.asarray(state.params.xyz)[:12])
 
+    def test_prune_nonfinite_zombies(self):
+        # NaN params fail every comparison so they neither rasterize nor
+        # prune by the standard rules — they must be culled explicitly.
+        state, _, _ = make_state(n=4, cap=16)
+        xyz = state.params.xyz.at[1, 0].set(jnp.nan)
+        ls = state.params.log_scales.at[2, 1].set(jnp.inf)
+        state = state._replace(params=state.params._replace(
+            xyz=xyz, log_scales=ls))
+        ostate = opt.init_adam(state.params)
+        s2, _, info = dz.densify_and_prune(
+            state, ostate, jax.random.PRNGKey(0), grad_threshold=1e9,
+            min_opacity=0.005, extent=1.0, max_screen_size=0,
+            percent_dense=0.01)
+        assert int(info.num_pruned) == 2
+        assert not bool(s2.live[1]) and not bool(s2.live[2])
+        assert bool(s2.live[0]) and bool(s2.live[3])
+
     def test_reset_opacity(self):
         state, _, _ = make_state(n=4, cap=8)
         ostate = opt.init_adam(state.params)

@@ -222,9 +222,12 @@ def main():
     lrs = optim.LearningRates.create(1.6e-4, 2.5e-3, 0.05, 5e-3, 1e-3)
     lam = jnp.float32(0.2)
     mask = jnp.ones((height, width), jnp.float32)
-    centers = np.stack([np.asarray(c.cam_center) for c in views])
-    extent = 1.1 * float(np.max(np.linalg.norm(
-        centers - centers.mean(0), axis=1)))
+    # Densify extent from the GT point spread, not the camera blob — see
+    # bench.py: a camera-center extent is ~1 m here while the room is
+    # 8x12 m, and percent_dense * 1 m sits below the median splat size,
+    # which mass-splits the map into shards after every opacity reset.
+    extent = 1.1 * float(np.percentile(
+        np.linalg.norm(pts - pts.mean(0), axis=1), 95))
 
     telemetry = []
     tel_path = OUT / "telemetry.jsonl"

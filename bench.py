@@ -498,8 +498,7 @@ def main():
     tr_state = gm.create_from_pcd(init_pts, init_cols, sh_degree=3,
                                   capacity=cap)
     tr_opt = optim.init_adam(tr_state.params)
-    from photo_slam_tpu.mapper.trainer import (densify_step,
-                                               opacity_reset_step)
+    from photo_slam_tpu.mapper.trainer import densify_step
     # Densify extent = SCENE radius from the GT points. The reference uses
     # getNerfppNorm over camera centers (src/gaussian_scene.cpp:120-151),
     # which equals the room scale on real Replica because the camera roams
@@ -517,23 +516,24 @@ def main():
     key = jax.random.PRNGKey(0)
     t0 = time.time()
     i = 0
+    # Reference protocol (cfg/.../replica_rgbd.yaml:55-73): constant position
+    # LR 3.2e-4 * spatial_lr_scale (init == final, gaussian_model.cpp:506-507),
+    # densify every 100 in (600, 15000] with grad threshold 1e-3 and
+    # min_opacity 0.02, opacity_reset_interval 0 (NEVER — a 3DGS-style reset
+    # every 3000 collapsed the map irrecoverably: 31 dB -> 8 dB at iter 3000,
+    # quality30k r4a), prune_big_point_after_iter 30000 (never fires).
+    lrs_i = lrs._replace(xyz=jnp.float32(3.2e-4 * max(extent, 1.0)))
     for i in range(1, protocol_iters + 1):
         v = (i - 1) % len(views)
-        # Reference protocol schedules (replica_rgbd.yaml): expon position
-        # LR, densify every 100 in (500, 15000], opacity reset every 3000.
-        lrs_i = lrs._replace(xyz=optim.expon_lr(
-            i, 1.6e-4, 1.6e-6, max_steps=protocol_iters))
         tr_state, tr_opt, m = train_step(tr_state, tr_opt, views[v],
                                          gt_views[v], mask, lrs_i, bg, lam,
                                          settings)
-        if 500 < i <= 15000 and i % 100 == 0:
+        if 600 < i <= 15000 and i % 100 == 0:
             key, sub = jax.random.split(key)
             tr_state, tr_opt, _info = densify_step(
                 tr_state, tr_opt, sub, jnp.float32(max(extent, 1.0)),
-                grad_threshold=2e-4, min_opacity=0.005,
-                max_screen_size=(20 if i > 3000 else 0), percent_dense=0.01)
-        if i % 3000 == 0 and i + 1500 < protocol_iters:
-            tr_state, tr_opt = opacity_reset_step(tr_state, tr_opt)
+                grad_threshold=1e-3, min_opacity=0.02,
+                max_screen_size=0, percent_dense=0.01)
         if i % 250 == 0:
             jax.block_until_ready(m["loss"])
             if i % 2000 == 0:

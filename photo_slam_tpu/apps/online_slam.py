@@ -19,7 +19,7 @@ from pathlib import Path
 
 import numpy as np
 
-from photo_slam_tpu.config import Config, load_reference_yaml
+from photo_slam_tpu.config import Config, dataset_config, load_reference_yaml
 from photo_slam_tpu.mapper.mapper import GaussianMapper, SensorType
 from photo_slam_tpu.tracking.gt_tracker import GroundTruthTracker
 from photo_slam_tpu.utils.math import se3_inverse, se3_matrix
@@ -232,7 +232,8 @@ def _common_parser():
 def replica_rgbd(argv=None):
     from photo_slam_tpu.io.datasets import ReplicaDataset
     args = _common_parser().parse_args(argv)
-    cfg = load_reference_yaml(args.cfg) if args.cfg else Config()
+    cfg = (load_reference_yaml(args.cfg) if args.cfg
+           else dataset_config("replica_rgbd"))
     ds = ReplicaDataset(args.data)
     return run_online(ds, SensorType.RGBD, cfg, args.out,
                       keyframe_every=args.keyframe_every,
@@ -244,7 +245,8 @@ def replica_rgbd(argv=None):
 def replica_mono(argv=None):
     from photo_slam_tpu.io.datasets import ReplicaDataset
     args = _common_parser().parse_args(argv)
-    cfg = load_reference_yaml(args.cfg) if args.cfg else Config()
+    cfg = (load_reference_yaml(args.cfg) if args.cfg
+           else dataset_config("replica_mono"))
     ds = ReplicaDataset(args.data,
                         load_depth_maps=(args.frontend == "gt"))
     # Monocular: the tracker still triangulates sparse keypoints (from GT
@@ -268,7 +270,8 @@ def tum_rgbd(argv=None):
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--height", type=int, default=480)
     args = ap.parse_args(argv)
-    cfg = load_reference_yaml(args.cfg) if args.cfg else Config()
+    cfg = (load_reference_yaml(args.cfg) if args.cfg
+           else dataset_config("tum_rgbd"))
     cam = Camera(camera_id=0, model_id=PINHOLE, width=args.width,
                  height=args.height, fx=args.fx, fy=args.fy, cx=args.cx,
                  cy=args.cy)
@@ -291,7 +294,8 @@ def tum_mono(argv=None):
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--height", type=int, default=480)
     args = ap.parse_args(argv)
-    cfg = load_reference_yaml(args.cfg) if args.cfg else Config()
+    cfg = (load_reference_yaml(args.cfg) if args.cfg
+           else dataset_config("tum_mono"))
     cam = Camera(camera_id=0, model_id=PINHOLE, width=args.width,
                  height=args.height, fx=args.fx, fy=args.fy, cx=args.cx,
                  cy=args.cy)
@@ -311,7 +315,8 @@ def euroc_stereo(argv=None):
     ap = _common_parser()
     ap.add_argument("--bf", type=float, default=47.9)  # baseline * fx
     args = ap.parse_args(argv)
-    cfg = load_reference_yaml(args.cfg) if args.cfg else Config()
+    cfg = (load_reference_yaml(args.cfg) if args.cfg
+           else dataset_config("euroc_stereo"))
     # Fallback intrinsics only: with sensor.yaml calibration present the
     # loader rectifies and derives the camera itself.
     cam = Camera(camera_id=0, model_id=PINHOLE, width=752, height=480,

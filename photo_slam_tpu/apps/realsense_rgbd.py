@@ -17,7 +17,7 @@ from pathlib import Path
 
 import numpy as np
 
-from photo_slam_tpu.config import Config, load_reference_yaml
+from photo_slam_tpu.config import dataset_config, load_reference_yaml
 from photo_slam_tpu.mapper.mapper import GaussianMapper, SensorType
 from photo_slam_tpu.models.camera import PINHOLE, Camera
 from photo_slam_tpu.tracking.gt_tracker import Frame
@@ -80,7 +80,8 @@ def main(argv=None):
     ap.add_argument("--viewer-port", type=int, default=8090)
     args = ap.parse_args(argv)
 
-    cfg = load_reference_yaml(args.cfg) if args.cfg else Config()
+    cfg = (load_reference_yaml(args.cfg) if args.cfg
+           else dataset_config("realsense_rgbd"))
     camera, frames = capture_frames(args.width, args.height, args.fps,
                                     args.max_frames)
 

@@ -260,6 +260,65 @@ _KEYMAP: dict[str, tuple[str, str, bool]] = {
 }
 
 
+def dataset_config(app: str) -> Config:
+    """Per-dataset benchmark Config, mirroring the reference's shipped
+    gaussian_mapper YAMLs (cfg/gaussian_mapper/<Sensor>/<Dataset>/*.yaml).
+
+    The reference never runs its benchmark apps on the C++ parameter
+    defaults — every example passes a per-dataset YAML whose values differ
+    materially from the ctor defaults (most importantly
+    `opacity_reset_interval: 0` in 40 of 42 shipped configs and
+    `densify_grad_threshold: 0.001` in 39 of 42; the ctor defaults are the
+    3DGS offline-training values). Our apps apply these when no --cfg is
+    given so a bare CLI run follows the benchmark protocol too.
+    """
+    cfg = Config()
+    o, m = cfg.opt, cfg.mapper
+    # Common to every benchmark config (e.g. RGB-D/Replica/replica_rgbd.yaml
+    # :55-73): constant position LR, no opacity resets, no big-point prune.
+    o.position_lr_init = 0.00032
+    o.position_lr_final = 0.00032
+    o.position_lr_max_steps = 24
+    o.densify_grad_threshold = 0.001
+    o.opacity_reset_interval = 0
+    o.prune_big_point_after_iter = 30000
+    o.max_num_iterations = 30100
+    m.min_num_initial_map_kfs = 10
+    m.new_keyframe_times_of_use = 8
+    m.local_BA_increased_times_of_use = 0
+    m.large_rotation_threshold = 20.0
+    m.large_translation_threshold = 0.5
+    m.max_depth_cached = 10
+    if app in ("replica_rgbd", "replica_mono"):
+        o.densify_min_opacity = 0.02
+        o.densify_from_iter = 600
+        o.densify_until_iter = 15000
+        if app == "replica_mono":
+            m.min_num_initial_map_kfs = 20
+    elif app in ("tum_rgbd", "tum_mono", "realsense_rgbd"):
+        o.densify_min_opacity = 0.1
+        o.densify_from_iter = 800 if app == "tum_mono" else 1000
+        o.densify_until_iter = 30000
+        m.new_keyframe_times_of_use = 2
+        m.large_rotation_threshold = 30.0
+        m.large_translation_threshold = 1.0
+        if app == "tum_mono":
+            m.min_num_initial_map_kfs = 20
+    elif app == "euroc_stereo":
+        o.densify_min_opacity = 0.005
+        o.densify_from_iter = 1000
+        o.densify_until_iter = 60000
+        o.max_num_iterations = 60100
+        m.inactive_geo_densify = False
+        m.max_depth_cached = 4
+        m.min_num_initial_map_kfs = 40
+        m.new_keyframe_times_of_use = 2
+        m.large_rotation_threshold = 10.0
+        m.large_translation_threshold = 0.1
+        m.stereo_min_disparity = 96
+    return cfg
+
+
 def load_reference_yaml(path, base: Config | None = None) -> Config:
     """Build a Config from a reference gaussian_mapper YAML file."""
     cfg = base or Config()

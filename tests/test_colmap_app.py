@@ -81,6 +81,44 @@ class TestReferenceYaml:
         assert cfg.record.record_rendered_image is True
         assert cfg.opt.opacity_reset_interval == 0
 
+    def test_dataset_config_matches_reference_yaml(self):
+        """dataset_config() (the no---cfg app default) must equal loading the
+        corresponding shipped reference YAML."""
+        import os
+
+        from photo_slam_tpu.config import dataset_config
+        base = "/root/reference/cfg/gaussian_mapper"
+        pairs = {
+            "replica_rgbd": "RGB-D/Replica/replica_rgbd.yaml",
+            "replica_mono": "Monocular/Replica/replica_mono.yaml",
+            "tum_rgbd": "RGB-D/TUM/tum_rgbd.yaml",
+            "tum_mono": "Monocular/TUM/tum_mono.yaml",
+            "euroc_stereo": "Stereo/EuRoC/EuRoC.yaml",
+        }
+        if not os.path.exists(base):
+            pytest.skip("reference tree not mounted")
+        for app, rel in pairs.items():
+            ref = load_reference_yaml(os.path.join(base, rel))
+            got = dataset_config(app)
+            for field in ("opacity_reset_interval", "densify_grad_threshold",
+                          "densify_min_opacity", "densify_from_iter",
+                          "densify_until_iter", "max_num_iterations",
+                          "position_lr_init", "position_lr_final",
+                          "prune_big_point_after_iter"):
+                assert getattr(got.opt, field) == pytest.approx(
+                    getattr(ref.opt, field)), (app, field)
+            for field in ("min_num_initial_map_kfs",
+                          "new_keyframe_times_of_use",
+                          "local_BA_increased_times_of_use",
+                          "large_rotation_threshold",
+                          "large_translation_threshold",
+                          "inactive_geo_densify", "max_depth_cached"):
+                assert getattr(got.mapper, field) == pytest.approx(
+                    getattr(ref.mapper, field)), (app, field)
+            if app == "euroc_stereo":
+                assert got.mapper.stereo_min_disparity == \
+                    ref.mapper.stereo_min_disparity
+
 
 class TestTrainColmapApp:
     @pytest.fixture()

@@ -16,8 +16,10 @@ Identical protocol to bench.py's quality stage:
     then corrupted by the sensor model (exposure drift, shot noise, motion
     blur) — the model never sees its own targets uncorrupted.
   * Fresh model: 150k subsampled noisy points, gray colors; densify every
-    100 iters in (500, 15000], opacity reset every 3000, expon position LR
-    over the protocol length (reference schedule, gaussian_model.cpp:1118).
+    100 iters in (600, 15000] (grad threshold 1e-3, min opacity 0.02), NO
+    opacity resets and NO big-point pruning, constant position LR
+    3.2e-4 * spatial scale — exactly the cited reference yaml's values
+    (opacity_reset_interval: 0, prune_big_point_after_iter: 30000).
   * Score: held-out PSNR/SSIM on 2 test views vs CLEAN exact renders.
 
 Usage:  PYTHONPATH=/root/repo:$PYTHONPATH python tools/quality_soak_30k.py
@@ -101,8 +103,7 @@ def main():
     jax.config.update("jax_compilation_cache_dir", str(cache_dir))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from photo_slam_tpu.mapper.trainer import (densify_step,
-                                               opacity_reset_step, train_step)
+    from photo_slam_tpu.mapper.trainer import densify_step, train_step
     from photo_slam_tpu.models import gaussian_model as gm
     from photo_slam_tpu.models import optimizer as optim
     from photo_slam_tpu.ops.camera_math import build_camera_matrices
@@ -233,21 +234,24 @@ def main():
     tel_path = OUT / "telemetry.jsonl"
     t0 = time.time()
     i = start_i
+    # Reference protocol (cfg/.../replica_rgbd.yaml:55-73): constant position
+    # LR 3.2e-4 * spatial_lr_scale (init == final, gaussian_model.cpp:506-507),
+    # densify every 100 in (600, 15000] with grad threshold 1e-3 and
+    # min_opacity 0.02, opacity_reset_interval 0 (NEVER — a 3DGS-style reset
+    # every 3000 collapsed the map irrecoverably: 31 dB -> 8 dB at iter 3000,
+    # r4a run), prune_big_point_after_iter 30000 (never fires).
+    lrs_i = lrs._replace(xyz=jnp.float32(3.2e-4 * max(extent, 1.0)))
     for i in range(start_i + 1, PROTOCOL_ITERS + 1):
         v = (i - 1) % len(views)
-        lrs_i = lrs._replace(xyz=optim.expon_lr(
-            i, 1.6e-4, 1.6e-6, max_steps=PROTOCOL_ITERS))
         state, opt_state, m = train_step(state, opt_state, views[v],
                                          gt_views[v], mask, lrs_i, bg, lam,
                                          settings)
-        if 500 < i <= 15000 and i % 100 == 0:
+        if 600 < i <= 15000 and i % 100 == 0:
             key, sub = jax.random.split(key)
             state, opt_state, _info = densify_step(
                 state, opt_state, sub, jnp.float32(max(extent, 1.0)),
-                grad_threshold=2e-4, min_opacity=0.005,
-                max_screen_size=(20 if i > 3000 else 0), percent_dense=0.01)
-        if i % 3000 == 0 and i + 1500 < PROTOCOL_ITERS:
-            state, opt_state = opacity_reset_step(state, opt_state)
+                grad_threshold=1e-3, min_opacity=0.02,
+                max_screen_size=0, percent_dense=0.01)
         if i % 2000 == 0:
             jax.block_until_ready(m["loss"])
             ho = float(score_fn(_render_exact(state.params, state.live,

@@ -77,6 +77,11 @@ class GaussianMapper:
         self._depth_cache_cols: list[np.ndarray] = []
         self._live_kf_ids: Optional[set[int]] = None  # for culling
         self.loop_closure_iteration = False
+        # GUI-driven tail extension: while True, run() phase 3 keeps
+        # optimizing past the densification window until the viewer (or any
+        # set_variable_parameters caller) clears it (reference keep_training_,
+        # src/gaussian_mapper.cpp:527-534, 1939-1980).
+        self.keep_training = False
 
     # ------------------------------------------------------------------
     # Camera registration (reference ctor: src/gaussian_mapper.cpp:115-229)
@@ -120,6 +125,13 @@ class GaussianMapper:
         not_transformed = jnp.ones(
             self.trainer.state.capacity if self.trainer.state else 0,
             dtype=bool) if self.initial_mapped else None
+        # Before/after loop-correction map snapshots (reference
+        # record_loop_ply_, src/gaussian_mapper.cpp:878-946).
+        record = (self.cfg.record.record_loop_ply and self.initial_mapped
+                  and self.result_dir is not None)
+        if record:
+            self.save_ply(self.result_dir / (
+                f"{self.trainer.iteration}_0_before_loop_correction"))
         for kf_data in op.keyframes:
             kf = self.scene.keyframes.get(kf_data.kfid)
             if kf is None:
@@ -155,6 +167,9 @@ class GaussianMapper:
                 kf.remaining_times_of_use += (
                     m.loop_closure_increased_times_of_use)
             kf.set_pose(kf_data.quat_wxyz, kf_data.trans)
+        if record:
+            self.save_ply(self.result_dir / (
+                f"{self.trainer.iteration}_1_after_loop_correction"))
         self._add_op_points(op)
         self.loop_closure_iteration = True
 
@@ -423,11 +438,11 @@ class GaussianMapper:
                 self.cull_keyframes(live_kf_ids())
             train_once()
 
-        # Phase 3: tail optimization through the densification window
-        # (reference: 527-534).
-        while not self.stopped and (
+        # Phase 3: tail optimization through the densification window, or
+        # for as long as the GUI holds keep_training (reference: 527-534).
+        while not self.stopped and self.trainer.iteration < max_iter and (
                 self.trainer.iteration < o.densify_until_iter
-                and self.trainer.iteration < max_iter):
+                or self.keep_training):
             self.combine_mapping_operations()
             train_once()
 
@@ -500,7 +515,19 @@ class GaussianMapper:
         img = np.asarray(res.image)
         y0 = (h2 - height) // 2
         x0 = (w2 - width) // 2
-        return img[:, y0:y0 + height, x0:x0 + width]
+        img = img[:, y0:y0 + height, x0:x0 + width]
+        # Mask out invalid undistortion border pixels, like the reference's
+        # viewer path (src/gaussian_mapper.cpp:1563-1568) — a distorted
+        # camera's remap leaves dead corners the splat render fills with
+        # hallucinated content.
+        if cam.has_distortion:
+            from photo_slam_tpu.models.camera import resize_image
+            mask = cam.undistort_mask()
+            if mask.shape != (height, width):
+                mask = (resize_image(mask, height, width)
+                        > 0.5).astype(np.float32)
+            img = img * mask[None]
+        return img
 
     def render_and_record_all_keyframes(self, out_dir,
                                         suffix: str = "") -> dict:
@@ -585,7 +612,7 @@ class GaussianMapper:
             "opacity_reset_interval": o.opacity_reset_interval,
             "densify_grad_threshold": o.densify_grad_threshold,
             "stable_num_iter_existence": m.stable_num_iter_existence,
-            "keep_training": not self.stopped,
+            "keep_training": self.keep_training,
             "do_gaus_pyramid_training": m.do_gaus_pyramid_training,
             "do_inactive_geo_densify": m.inactive_geo_densify,
         }
@@ -595,6 +622,8 @@ class GaussianMapper:
         for key, value in params.items():
             if key == "position_lr_init":
                 self.trainer.position_lr_init_live = float(value)
+            elif key == "keep_training":
+                self.keep_training = bool(value)
             elif hasattr(o, key):
                 setattr(o, key, type(getattr(o, key))(value))
             elif key == "do_gaus_pyramid_training":

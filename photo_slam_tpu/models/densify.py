@@ -103,10 +103,22 @@ def densify_and_prune(
     smax = jnp.max(scales, axis=-1)
     opac = jax.nn.sigmoid(p.opacity_logit[:, 0])
 
-    prune_old = opac < min_opacity
+    # Opacity/world-size prune terms also disqualify a parent from cloning
+    # or splitting (any child/copy would be prunable on arrival: opacity is
+    # inherited, and a world-big parent's children are world-big).
+    prune_soft = opac < min_opacity
     if max_screen_size:
-        prune_old = prune_old | (state.max_radii2d > max_screen_size) | (
-            smax > 0.1 * extent)
+        prune_soft = prune_soft | (smax > 0.1 * extent)
+    prune_old = prune_soft
+    if max_screen_size:
+        # Screen-radius prune. A radii-big parent stays SPLITTABLE (excluded
+        # from prune_soft, not from hot): the reference splits it and the
+        # children survive with max_radii2D = 0. (In the reference this term
+        # is in fact vacuous — densificationPostfix zeroes max_radii2D_ for
+        # the WHOLE array before densifyAndPrune's final prune,
+        # src/gaussian_model.cpp:713-714 — we keep the meaningful reading of
+        # max_screen_size, which is strictly more aggressive.)
+        prune_old = prune_old | (state.max_radii2d > max_screen_size)
     # Non-finite zombies: NaN params fail every comparison, so they neither
     # rasterize nor prune and accumulate forever (observed +5/1200 iters in
     # the 30k soak). Cull them explicitly.
@@ -116,7 +128,7 @@ def densify_and_prune(
               & jnp.isfinite(p.opacity_logit).all(-1))
     prune_old = (prune_old | ~finite) & live
 
-    hot = live & ~prune_old & (grads >= grad_threshold)
+    hot = live & finite & ~prune_soft & (grads >= grad_threshold)
     clone = hot & (smax <= percent_dense * extent)
     split = hot & (smax > percent_dense * extent)
 
@@ -155,10 +167,10 @@ def densify_and_prune(
     child_log_scales = jnp.log(scales / SPLIT_SCALE_DIV)
 
     # Arrival pruning (the reference appends candidates before pruning the
-    # concatenated array) is vacuous here: `hot` already excludes prune_old,
-    # which covers every arrival-prune term (opacity < min, and — when the
-    # screen-size prune is on — the parent of any world-big child/copy is
-    # itself world-big).
+    # concatenated array) is vacuous here: `hot` already excludes prune_soft,
+    # which covers every arrival-prune term that can apply to a fresh
+    # candidate (opacity < min; world-big parents of world-big children; the
+    # screen-radius term never applies to arrivals, whose max_radii2D is 0).
     # Candidate A: clone copy (for clones) or first split child.
     a_valid = clone | split
     a_xyz = jnp.where(split[:, None], child_xyz_1, p.xyz)

@@ -1,4 +1,4 @@
-"""Spherical-harmonics color evaluation, degrees 0..3.
+"""Spherical-harmonics color evaluation, degrees 0..4.
 
 Matches the math of the reference rasterizer's computeColorFromSH
 (reference: cuda_rasterizer/forward.cu:20-71) and the tensor-op variant in
@@ -32,6 +32,17 @@ SH_C3 = (
     1.445305721320277,
     -0.5900435899266435,
 )
+SH_C4 = (
+    2.5033429417967046,
+    -1.7701307697799304,
+    0.9461746957575601,
+    -0.6690465435572892,
+    0.10578554691520431,
+    -0.6690465435572892,
+    0.47308734787878004,
+    -1.7701307697799304,
+    0.6258357354491761,
+)
 
 
 def num_sh_coeffs(degree: int) -> int:
@@ -42,7 +53,7 @@ def eval_sh(degree: int, shs: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
     """Evaluate SH colors.
 
     Args:
-      degree: active SH degree (static; 0..3).
+      degree: active SH degree (static; 0..4).
       shs: [..., K, 3] coefficients with K >= (degree+1)^2.
       dirs: [..., 3] unit view directions (Gaussian center minus camera).
 
@@ -83,6 +94,21 @@ def eval_sh(degree: int, shs: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
                     + SH_C3[5] * z * (xx - yy) * shs[..., 14, :]
                     + SH_C3[6] * x * (xx - 3.0 * yy) * shs[..., 15, :]
                 )
+                if degree > 3:
+                    # Degree 4 (reference: include/sh_utils.h:120-148).
+                    result = (
+                        result
+                        + SH_C4[0] * xy * (xx - yy) * shs[..., 16, :]
+                        + SH_C4[1] * yz * (3.0 * xx - yy) * shs[..., 17, :]
+                        + SH_C4[2] * xy * (7.0 * zz - 1.0) * shs[..., 18, :]
+                        + SH_C4[3] * yz * (7.0 * zz - 3.0) * shs[..., 19, :]
+                        + SH_C4[4] * (zz * (35.0 * zz - 30.0) + 3.0) * shs[..., 20, :]
+                        + SH_C4[5] * xz * (7.0 * zz - 3.0) * shs[..., 21, :]
+                        + SH_C4[6] * (xx - yy) * (7.0 * zz - 1.0) * shs[..., 22, :]
+                        + SH_C4[7] * xz * (xx - 3.0 * yy) * shs[..., 23, :]
+                        + SH_C4[8] * (xx * (xx - 3.0 * yy)
+                                      - yy * (3.0 * xx - yy)) * shs[..., 24, :]
+                    )
     return result
 
 

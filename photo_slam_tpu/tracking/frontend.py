@@ -598,13 +598,18 @@ class SlamFrontend:
         """Tracking-thread application of worker results: queued ops, the
         local-BA pose correction for the live pose, and a verified loop
         (pose graph / merge — the whole-map mutations stay on this thread)."""
+        if self._lm_exc is not None:
+            # Surface a dead local-mapping pipeline within a frame instead of
+            # silently degrading tracking for the whole run (flush() only
+            # runs at sequence end).
+            e, self._lm_exc = self._lm_exc, None
+            raise e
         ops: list[MappingOperation] = []
-        if self._pending_ops:
-            with self._lock:
+        with self._lock:
+            if self._pending_ops:
                 ops, self._pending_ops = self._pending_ops, []
-        fix = self._pending_pose_fix
+            fix, self._pending_pose_fix = self._pending_pose_fix, None
         if fix is not None:
-            self._pending_pose_fix = None
             self.tcw = fix @ self.tcw
         if self._pending_loop is not None:
             node, found = self._pending_loop
@@ -907,16 +912,30 @@ class SlamFrontend:
         # keyframes total this makes the BA points-only — fine.
         while n_fixed < min(2, len(all_ids)):
             n_fixed += 1
-        tcw_before = node.tcw.copy()
+        with self._lock:
+            tcw_before = node.tcw.copy()
+            version_before = self._map_version
         if self._run_ba(all_ids, n_fixed):
-            new_tcw = self.map.keyframes[node.kfid].tcw
-            if threading.current_thread() is self._lm_thread:
-                # The tracking thread owns self.tcw (it has advanced past
-                # this keyframe): hand it the left-multiplicative delta to
-                # apply at the next frame boundary.
-                self._pending_pose_fix = new_tcw @ se3_inverse(tcw_before)
-            else:
-                self.tcw = new_tcw.copy()
+            with self._lock:
+                if version_before != self._map_version:
+                    # A whole-map transform landed between the tcw_before
+                    # snapshot and the BA write-back: tcw_before is in the
+                    # old gauge, the solution in the new — a delta mixing
+                    # the two would corrupt self.tcw. Drop the fix (the next
+                    # PnP/BA re-converges).
+                    return [self.map.keyframes[k] for k in free_ids]
+                new_tcw = self.map.keyframes[node.kfid].tcw
+                if threading.current_thread() is self._lm_thread:
+                    # The tracking thread owns self.tcw (it has advanced
+                    # past this keyframe): hand it the left-multiplicative
+                    # delta to apply at the next frame boundary. Compose
+                    # with an unconsumed pending fix instead of losing it.
+                    delta = new_tcw @ se3_inverse(tcw_before)
+                    prev = self._pending_pose_fix
+                    self._pending_pose_fix = (delta if prev is None
+                                              else delta @ prev)
+                else:
+                    self.tcw = new_tcw.copy()
         return [self.map.keyframes[k] for k in free_ids]
 
     # ------------------------------------------------------------------

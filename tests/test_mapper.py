@@ -211,6 +211,36 @@ class TestOpProtocol:
             assert not np.allclose(kf.trans, kf_trans_before[f]) or (
                 np.allclose(kf_trans_before[f] * s, kf_trans_before[f]))
 
+    def test_record_loop_ply_snapshots(self, tmp_path):
+        """record_loop_ply writes before/after loop-correction checkpoints
+        (reference: src/gaussian_mapper.cpp:878-946)."""
+        mapper = self._mapped()
+        mapper.cfg.record.record_loop_ply = True
+        mapper.result_dir = tmp_path
+        from photo_slam_tpu.mapper.mapping_ops import KeyframeData
+        op = MappingOperation(kind=OprType.LOOP_CLOSING_BA, scale=1.0)
+        kf = mapper.scene.keyframes[0]
+        op.keyframes.append(KeyframeData(
+            kfid=0, camera_id=0, quat_wxyz=kf.quat.copy(),
+            trans=kf.trans + [0.5, 0, 0]))
+        mapper.queue.push(op)
+        mapper.combine_mapping_operations()
+        it = mapper.trainer.iteration
+        before = tmp_path / f"{it}_0_before_loop_correction"
+        after = tmp_path / f"{it}_1_after_loop_correction"
+        for d in (before, after):
+            assert list(d.rglob("point_cloud.ply")), d
+        # And NOT written when the flag is off (default).
+        mapper2 = self._mapped()
+        mapper2.result_dir = tmp_path / "off"
+        op2 = MappingOperation(kind=OprType.LOOP_CLOSING_BA, scale=1.0)
+        op2.keyframes.append(KeyframeData(
+            kfid=0, camera_id=0, quat_wxyz=kf.quat.copy(),
+            trans=kf.trans + [0.5, 0, 0]))
+        mapper2.queue.push(op2)
+        mapper2.combine_mapping_operations()
+        assert not (tmp_path / "off").exists()
+
     def test_stream_roundtrip(self, tmp_path):
         cam = make_camera()
         world = gt_world(n=50)
@@ -285,3 +315,68 @@ class TestOpacityResetMargin:
         assert live_op.mean() > 0.05, (
             f"map ended washed out (mean opacity {live_op.mean():.4f}) — "
             "opacity reset fired within the recovery margin")
+
+
+class TestKeepTraining:
+    def test_phase3_extends_while_keep_training(self):
+        """The GUI's keep_training flag extends phase-3 tail optimization
+        past the densification window (reference keep_training_,
+        src/gaussian_mapper.cpp:527-534); clearing it ends the tail."""
+        cam = make_camera()
+        world = gt_world()
+        frames = make_frames(world, cam, num=4)
+        cfg = small_cfg()
+        cfg.opt.densify_from_iter = 10000        # window closed immediately
+        cfg.opt.densify_until_iter = 5
+        mapper = GaussianMapper(cfg, SensorType.RGBD)
+        mapper.add_camera(cam)
+        tracker = GroundTruthTracker(cam, keyframe_every=1)
+        tracker.run(iter(frames), mapper.queue.push)
+
+        # Without keep_training the tail stops at the densify window.
+        mapper.run(is_tracker_done=lambda: True, max_iterations=50)
+        assert mapper.trainer.iteration <= 6
+
+        # With keep_training held, the tail continues; a live
+        # set_variable_parameters({"keep_training": False}) ends it.
+        orig = mapper.combine_mapping_operations
+
+        def hook():
+            if mapper.trainer.iteration >= 20:
+                mapper.set_variable_parameters({"keep_training": False})
+            orig()
+
+        mapper.set_variable_parameters({"keep_training": True})
+        assert mapper.get_variable_parameters()["keep_training"] is True
+        mapper.combine_mapping_operations = hook
+        mapper.run(is_tracker_done=lambda: True, max_iterations=50)
+        assert 20 <= mapper.trainer.iteration < 50
+        assert mapper.get_variable_parameters()["keep_training"] is False
+
+
+class TestRenderFromPoseMask:
+    def test_undistort_mask_applied(self):
+        """Pose renders from a distorted camera must zero the invalid
+        undistortion border (reference: src/gaussian_mapper.cpp:1563-1568)."""
+        cfg = small_cfg()
+        # Strong pincushion distortion: undistorted corners sample outside
+        # the source image, so the undistort mask has dead corners.
+        cam = Camera(camera_id=0, model_id=PINHOLE, width=W, height=H,
+                     fx=F, fy=F, cx=W / 2, cy=H / 2,
+                     dist_coeffs=np.array([0.5, 0.1, 0, 0, 0], np.float32))
+        mask = cam.undistort_mask()
+        assert mask.min() == 0.0 and mask.max() == 1.0  # has dead pixels
+        world = gt_world()
+        frames = make_frames(world, cam, num=4)
+        mapper = GaussianMapper(cfg, SensorType.RGBD)
+        mapper.add_camera(cam)
+        tracker = GroundTruthTracker(cam, keyframe_every=1, num_keypoints=100)
+        tracker.run(iter(frames), mapper.queue.push)
+        mapper.run(is_tracker_done=lambda: True, max_iterations=10)
+        img = mapper.render_from_pose(np.array([1.0, 0, 0, 0]),
+                                      np.zeros(3), W, H)
+        assert img.shape == (3, H, W)
+        dead = mask < 0.5
+        assert dead.any()
+        assert np.abs(img[:, dead]).max() == 0.0
+        assert np.abs(img[:, ~dead]).max() > 0.0

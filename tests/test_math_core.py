@@ -70,14 +70,44 @@ class TestSH:
         rgb = sh.sh_to_rgb(0, shs, jnp.array([[0.0, 0, 5]]), jnp.zeros(3))
         assert (rgb >= 0).all()
 
-    @pytest.mark.parametrize("deg", [1, 2, 3])
+    @pytest.mark.parametrize("deg", [1, 2, 3, 4])
     def test_degree_rotational_structure(self, deg):
         # Evaluating at +z vs -z flips odd-degree terms.
         key = jax.random.PRNGKey(3)
-        shs = jax.random.normal(key, (1, 16, 3))
+        shs = jax.random.normal(key, (1, 25, 3))
         up = sh.eval_sh(deg, shs, jnp.array([[0.0, 0.0, 1.0]]))
         down = sh.eval_sh(deg, shs, jnp.array([[0.0, 0.0, -1.0]]))
         assert not np.allclose(up, down)
+
+    def test_basis_orthonormality_deg4(self):
+        """The 25 implied basis functions (degrees 0..4, reference
+        include/sh_utils.h:33-148) must satisfy (1/4pi) * integral of
+        Y_i * Y_j over the sphere = delta_ij / (4pi) — i.e. with quasi-
+        uniform sphere samples, mean(Y_i * Y_j) ~ delta_ij / (4pi).
+        Non-circular: validates constants AND polynomial terms against the
+        defining property of real spherical harmonics."""
+        n = 200_000
+        i = np.arange(n, dtype=np.float64)
+        # Spherical Fibonacci lattice: quasi-uniform on S^2.
+        phi = np.pi * (3.0 - np.sqrt(5.0)) * i
+        z = 1.0 - 2.0 * (i + 0.5) / n
+        r = np.sqrt(np.maximum(1.0 - z * z, 0.0))
+        dirs = np.stack([r * np.cos(phi), r * np.sin(phi), z], 1)
+        # Basis via one-hot coefficients: eval_sh is linear in shs.
+        shs = jnp.eye(25)[None, :, :]           # [1, 25, 25-as-"rgb"] trick
+        # eval_sh expects [..., K, 3]; evaluate 25 one-hot coeff sets by
+        # batching over the channel axis in groups of 3.
+        basis = np.zeros((n, 25), np.float64)
+        dirs_j = jnp.asarray(dirs, jnp.float32)
+        for k0 in range(0, 25, 3):
+            cols = min(3, 25 - k0)
+            coef = jnp.zeros((1, 25, 3))
+            for c in range(cols):
+                coef = coef.at[0, k0 + c, c].set(1.0)
+            out = np.asarray(sh.eval_sh(4, coef, dirs_j))  # [n, 3]
+            basis[:, k0:k0 + cols] = out[:, :cols]
+        gram = basis.T @ basis / n * (4.0 * np.pi)
+        np.testing.assert_allclose(gram, np.eye(25), atol=0.02)
 
 
 class TestLosses:

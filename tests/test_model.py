@@ -247,6 +247,36 @@ class TestDensify:
         assert int(info.num_pruned) == 1
         assert not bool(s2.live[1])
 
+    def test_screen_big_parent_still_splits(self):
+        # A parent that is high-gradient AND screen-radius-big (but world
+        # scale <= 0.1 * extent) must SPLIT before it is pruned: the
+        # reference appends its children (max_radii2D = 0 on arrival) and
+        # then prunes the parent — pruning it without splitting loses
+        # converged content (ADVICE r4 parity gap).
+        state, _, _ = make_state(n=4, cap=16)
+        params = state.params._replace(log_scales=jnp.zeros((16, 3)))
+        state = state._replace(
+            params=params,
+            max_radii2d=state.max_radii2d.at[1].set(50.0))
+        state = self._stats(state, 1.0)
+        ostate = opt.init_adam(state.params)
+        s2, _, info = dz.densify_and_prune(
+            state, ostate, jax.random.PRNGKey(0), grad_threshold=0.5,
+            min_opacity=0.005, extent=100.0, max_screen_size=20,
+            percent_dense=0.001)
+        # All 4 split (scale 1 > 0.1 extent-percent), incl. the radii-big
+        # one; its 2 children survive with max_radii2d = 0 (dead parent
+        # slots are reused by children, so check counts, not slot ids).
+        assert int(info.num_split) == 4
+        assert int(info.num_dropped) == 0
+        assert int(gm.num_live(s2)) == 8      # every child placed
+        assert float(jnp.abs(s2.max_radii2d).max()) == 0.0
+        # Child scales came from the split path (parent scale / 1.6), so
+        # the radii-big parent really split rather than being pruned.
+        live_scales = np.exp(
+            np.asarray(s2.params.log_scales)[np.asarray(s2.live)])
+        np.testing.assert_allclose(live_scales, 1.0 / 1.6, rtol=1e-5)
+
     def test_capacity_limit_throttles_clones(self):
         # 14 live, 2 free slots, everyone wants cloning: exactly 2 clones
         # are approved against the slot budget and NOTHING is dropped (the

@@ -39,9 +39,17 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import bench  # scene/texture/sensor-model helpers (shared protocol source)
 
-OUT = Path(__file__).resolve().parent.parent / "results" / "quality30k"
+OUT = Path(os.environ.get(
+    "SOAK_OUT",
+    str(Path(__file__).resolve().parent.parent / "results" / "quality30k")))
 CKPT_EVERY = int(os.environ.get("SOAK_CKPT_EVERY", "3000"))
 PROTOCOL_ITERS = int(os.environ.get("SOAK_QUALITY_ITERS", "30000"))
+# SOAK_CLEAN=1 disables the sensor model on training views (clean-train
+# control run, VERDICT r4 item 1): identical protocol, same GT world and
+# cameras, but the model trains on uncorrupted renders. The gap between the
+# clean and noisy numbers isolates the sensor-noise floor from pipeline
+# fitting capacity.
+CLEAN_TRAIN = os.environ.get("SOAK_CLEAN", "0") == "1"
 
 
 def log(*a):
@@ -61,7 +69,9 @@ def save_ckpt(path, state, opt_state, it, key):
         payload[f"v_{name}"] = np.asarray(arr)
     payload["meta"] = np.array([it, int(opt_state.step)])
     payload["key"] = np.asarray(key)
-    tmp = Path(str(path) + ".tmp.npz")
+    # Tmp name must NOT match the resume/cleanup glob ckpt_*.npz (a crash
+    # mid-save would otherwise leave a corrupt file that resume loads).
+    tmp = path.parent / ("tmp_" + path.name)
     np.savez(tmp, **payload)
     tmp.replace(path)
 
@@ -194,9 +204,15 @@ def main():
     log("[soak] rendering GT training/test views (exact path)...")
     t0 = time.time()
     crng = np.random.RandomState(7)
-    gt_views = [jnp.asarray(bench.corrupt_frame(
-        np.asarray(_render_exact(gt_state.params, gt_state.live, c)), i, crng))
-        for i, c in enumerate(views)]
+    if CLEAN_TRAIN:
+        log("[soak] CLEAN-TRAIN control: sensor model OFF")
+        gt_views = [jnp.asarray(np.asarray(
+            _render_exact(gt_state.params, gt_state.live, c)))
+            for c in views]
+    else:
+        gt_views = [jnp.asarray(bench.corrupt_frame(
+            np.asarray(_render_exact(gt_state.params, gt_state.live, c)), i,
+            crng)) for i, c in enumerate(views)]
     gt_tests = [jnp.asarray(_render_exact(gt_state.params, gt_state.live, c))
                 for c in test_cams]
     log(f"[soak] GT views in {time.time() - t0:.1f}s")
@@ -280,6 +296,7 @@ def main():
     per_view = [{"psnr_db": round(float(p), 3), "ssim": round(float(s), 4)}
                 for p, s in scores]
     summary = {
+        "clean_train": CLEAN_TRAIN,
         "protocol_iters": PROTOCOL_ITERS,
         "iters_done": i,
         "mapping_psnr_db": round(mapping_psnr, 2),

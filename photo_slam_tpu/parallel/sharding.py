@@ -288,3 +288,271 @@ def shard_batch_args(mesh: Mesh, cams: CameraMatrices, gt_images, masks):
 def replicate(mesh: Mesh, tree: Any) -> Any:
     rep = NamedSharding(mesh, P())
     return jax.tree.map(lambda x: jax.device_put(x, rep), tree)
+
+
+# ---------------------------------------------------------------------------
+# Gaussian-parallel (map-sharded) training — SURVEY §7 step 8, second half.
+#
+# The "dp" axis above replicates the map and shards VIEWS: throughput scales,
+# capacity doesn't. This axis ("gp") shards the MAP: params + Adam moments
+# live split over chips (capacity scales ~linearly with mesh size — the
+# single-chip HBM budget caps a replicated map at ~2M splats,
+# mapper/trainer._ensure_capacity), and each step runs:
+#
+#   1. per-shard preprocess (cull/project/cov2D/SH) on the chip that owns the
+#      Gaussians — O(N/D), no communication;
+#   2. all_gather of the compact per-Gaussian screen features (~10 floats vs
+#      ~59 param + 118 Adam floats held shard-local) over ICI — the
+#      "all-gather tile survivors" design from SURVEY §2.6;
+#   3. every chip rasterizes its own horizontal band of tile rows (binning +
+#      blend are image-local: zero communication);
+#   4. bands all_gather into the full frame; the global loss (L1 + SSIM —
+#      SSIM windows cross band boundaries, so it must see the full image) is
+#      computed redundantly on every chip;
+#   5. JAX AD routes cotangents back through the two gathers
+#      (transpose = psum_scatter over ICI): band grads -> gathered-feature
+#      grads -> shard-local feature grads -> shard-local param grads. The
+#      redundant loss makes band cotangents arrive D-fold (D identical
+#      copies psum_scattered), so grads are rescaled by 1/D;
+#   6. Adam runs shard-local. No scatter anywhere: both collective
+#      transposes are reduce-scatters, which ride ICI.
+# ---------------------------------------------------------------------------
+
+
+def make_gp_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), axis_names=("gp",))
+
+
+def shard_gaussian_state(mesh: Mesh, state: gm.GaussianState,
+                         opt_state: optim.AdamState):
+    """Place a (replicated/host) state on the mesh, capacity axis sharded
+    over 'gp'. Capacity must divide the mesh size (gm.round_capacity keeps
+    power-of-2 capacities, so any power-of-2 mesh works)."""
+    shard = NamedSharding(mesh, P("gp"))
+    rep = NamedSharding(mesh, P())
+    put = lambda x: jax.device_put(x, shard)  # noqa: E731
+    state = jax.tree.map(put, state)
+    opt_state = optim.AdamState(m=jax.tree.map(put, opt_state.m),
+                                v=jax.tree.map(put, opt_state.v),
+                                step=jax.device_put(opt_state.step, rep))
+    return state, opt_state
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("settings", "mesh"),
+    donate_argnames=("state", "opt_state"),
+)
+def train_step_gaussian_sharded(
+    state: gm.GaussianState,
+    opt_state: optim.AdamState,
+    cam: CameraMatrices,
+    gt_image: jnp.ndarray,
+    mask: jnp.ndarray,
+    lrs: optim.LearningRates,
+    bg_color: jnp.ndarray,
+    lambda_dssim: jnp.ndarray,
+    settings: RenderSettings,
+    mesh: Mesh,
+):
+    """One optimization step with the Gaussian map sharded over mesh axis
+    'gp'. Semantics match mapper.trainer.train_step on the union of the
+    shards exactly, except per-tile entry-cap clipping: a Gaussian whose
+    footprint is clipped to max_tiles_per_gaussian may pick different tiles
+    when its rect is band-clipped (both paths are approximations there; with
+    no clipping the step is bit-comparable, see test_sharding.py)."""
+    from jax import shard_map
+
+    from photo_slam_tpu.ops import preprocess as prep_mod
+    from photo_slam_tpu.ops import tiled as tiled_mod
+
+    n_dev = int(mesh.devices.size)
+    tile = 32 if settings.mode == "pallas" else settings.tile
+    width, height = settings.width, settings.height
+    gy = -(-height // tile)
+    gy_band = -(-gy // n_dev)
+    band_px = gy_band * tile
+
+    def shard_fn(params, live, m, v, step, cam_r, gt, mask_r, lrs_r, bg,
+                 lam):
+        cap_local = live.shape[0]
+
+        def loss_fn(p, m2d_offset):
+            scales, quats, opac = gm.activated(p)
+            shs = gm.sh_features(p)
+            prep = prep_mod.preprocess(
+                p.xyz, scales, quats, cam_r.viewmatrix, cam_r.full_proj,
+                cam_r.cam_center, width, height, settings.tan_fovx,
+                settings.tan_fovy, sh_degree=settings.sh_degree, shs=shs,
+                scale_modifier=settings.scale_modifier, live_mask=live,
+                principal=settings.principal)
+            prep = prep._replace(means2d=prep.means2d + m2d_offset)
+            # 2. gather compact screen features; Adam/params stay sharded.
+            gat = jax.tree.map(
+                lambda x: jax.lax.all_gather(x, "gp", axis=0, tiled=True),
+                prep)
+            opac_g = jax.lax.all_gather(opac, "gp", axis=0, tiled=True)
+            # 3. rasterize this chip's band of tile rows.
+            d = jax.lax.axis_index("gp")
+            y0 = (d * band_px).astype(jnp.float32)
+            shifted = gat._replace(
+                means2d=gat.means2d - jnp.stack(
+                    [jnp.float32(0.0), y0])[None, :])
+            if settings.mode == "pallas":
+                out, binning = tiled_mod.render_pallas(
+                    shifted, opac_g, width, band_px, bg,
+                    max_tiles_per_gaussian=settings.max_tiles_per_gaussian,
+                    max_per_tile=settings.max_per_tile,
+                    overflow_passes=settings.overflow_passes,
+                    overflow_capacity=settings.overflow_capacity,
+                    overflow_compact=settings.overflow_compact)
+            else:
+                out, binning = tiled_mod.render_tiled(
+                    shifted, opac_g, width, band_px, bg,
+                    tile=settings.tile,
+                    max_tiles_per_gaussian=settings.max_tiles_per_gaussian,
+                    max_per_tile=settings.max_per_tile,
+                    tiles_per_chunk=settings.tiles_per_chunk)
+            # 4. full frame on every chip (SSIM crosses band boundaries).
+            bands = jax.lax.all_gather(out.image, "gp", axis=0)  # [D,3,b,W]
+            img = bands.transpose(1, 0, 2, 3).reshape(
+                3, n_dev * band_px, width)[:, :height, :]
+            masked = img * mask_r[None]
+            loss = (1.0 - lam) * losses.l1_loss(masked, gt) + (
+                lam * (1.0 - losses.ssim(masked, gt)))
+            return loss, (prep.radii, prep.visible, binning.num_clipped,
+                          binning.num_overflow)
+
+        offset0 = jnp.zeros((cap_local, 2), jnp.float32)
+        (loss, (radii, visible, clipped, overflow)), (grads, g2d) = (
+            jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
+                params, offset0))
+        # 5. the loss is computed identically on all D chips, so the band
+        # all_gather's transpose (psum_scatter) delivered D identical
+        # cotangent copies: rescale.
+        inv_d = jnp.float32(1.0 / n_dev)
+        grads = jax.tree.map(lambda x: x * inv_d, grads)
+        g2d = g2d * inv_d
+
+        st = gm.GaussianState(params=params, live=live,
+                              max_radii2d=jnp.zeros(cap_local, jnp.float32),
+                              xyz_grad_accum=jnp.zeros(cap_local, jnp.float32),
+                              denom=jnp.zeros(cap_local, jnp.float32),
+                              exist_since_iter=jnp.zeros(cap_local, jnp.int32))
+        st = dz.update_max_radii(st, radii, visible)
+        st = dz.add_densification_stats(st, g2d, visible, width, height)
+
+        # 6. shard-local Adam.
+        new_params, new_opt = optim.adam_step(
+            params, grads, optim.AdamState(m=m, v=v, step=step), lrs_r, live)
+        num_vis = jax.lax.psum(jnp.sum(visible.astype(jnp.int32)), "gp")
+        metrics = (loss, num_vis,
+                   jax.lax.psum(clipped, "gp"), jax.lax.psum(overflow, "gp"))
+        return (new_params, new_opt.m, new_opt.v, new_opt.step,
+                st.max_radii2d, st.xyz_grad_accum, st.denom, metrics)
+
+    pspec = jax.tree.map(lambda _: P("gp"), state.params)
+    (new_params, new_m, new_v, new_step, dr, dg, dd, metrics) = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(pspec, P("gp"), pspec, pspec, P(), P(), P(), P(), P(),
+                  P(), P()),
+        out_specs=(pspec, pspec, pspec, P(), P("gp"), P("gp"), P("gp"),
+                   (P(), P(), P(), P())),
+        check_vma=False,
+    )(state.params, state.live, opt_state.m, opt_state.v, opt_state.step,
+      cam, gt_image, mask, lrs, bg_color, lambda_dssim)
+
+    loss, num_vis, clipped, overflow = metrics
+    new_state = state._replace(
+        params=new_params,
+        max_radii2d=jnp.maximum(state.max_radii2d, dr),
+        xyz_grad_accum=state.xyz_grad_accum + dg,
+        denom=state.denom + dd,
+    )
+    new_opt = optim.AdamState(m=new_m, v=new_v, step=new_step)
+    return new_state, new_opt, {"loss": loss, "num_visible": num_vis,
+                                "binning_clipped": clipped,
+                                "binning_overflow": overflow}
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_screen_size", "grad_threshold", "min_opacity",
+                     "percent_dense", "mesh"),
+    donate_argnames=("state", "opt_state"),
+)
+def densify_step_gaussian_sharded(state, opt_state, key, extent,
+                                  grad_threshold, min_opacity,
+                                  max_screen_size, percent_dense, mesh):
+    """Densify/clone/split/prune with the map sharded over 'gp': every shard
+    runs the budget-approved event over its own slots (its own free-slot
+    budget, its own gradient ranking, a per-shard folded PRNG key). Candidate
+    placement never crosses shards — clones/split children stay on the parent
+    chip, which keeps the event communication-free; the global behavior
+    matches the replicated event up to the partitioning of the free-slot
+    budget."""
+    from jax import shard_map
+
+    def shard_fn(st_params, live, mr, ga, dn, ex, m, v, step, key_r, ext):
+        d = jax.lax.axis_index("gp")
+        st = gm.GaussianState(params=st_params, live=live, max_radii2d=mr,
+                              xyz_grad_accum=ga, denom=dn,
+                              exist_since_iter=ex)
+        ost = optim.AdamState(m=m, v=v, step=step)
+        st2, ost2, info = dz.densify_and_prune(
+            st, ost, jax.random.fold_in(key_r, d), grad_threshold,
+            min_opacity, ext, max_screen_size, percent_dense)
+        info = dz.DensifyInfo(*(jax.lax.psum(x, "gp") for x in info))
+        return (st2.params, st2.live, st2.max_radii2d, st2.xyz_grad_accum,
+                st2.denom, st2.exist_since_iter, ost2.m, ost2.v, ost2.step,
+                info)
+
+    pspec = jax.tree.map(lambda _: P("gp"), state.params)
+    out = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(pspec, P("gp"), P("gp"), P("gp"), P("gp"), P("gp"),
+                  pspec, pspec, P(), P(), P()),
+        out_specs=(pspec, P("gp"), P("gp"), P("gp"), P("gp"), P("gp"),
+                   pspec, pspec, P(), dz.DensifyInfo(P(), P(), P(), P())),
+        check_vma=False,
+    )(state.params, state.live, state.max_radii2d, state.xyz_grad_accum,
+      state.denom, state.exist_since_iter, opt_state.m, opt_state.v,
+      opt_state.step, key, extent)
+    (params, live, mr, ga, dn, ex, m, v, step, info) = out
+    return (gm.GaussianState(params=params, live=live, max_radii2d=mr,
+                             xyz_grad_accum=ga, denom=dn,
+                             exist_since_iter=ex),
+            optim.AdamState(m=m, v=v, step=step),
+            dz.DensifyInfo(*info))
+
+
+def deal_gaussian_shards(state: gm.GaussianState, opt_state: optim.AdamState,
+                         n_shards: int):
+    """Permute capacity slots so live and free slots spread evenly across
+    the n contiguous shard blocks (round-robin deal of live-first order).
+
+    Shard-local densify (densify_step_gaussian_sharded) budgets candidate
+    placement against each shard's OWN free slots: a freshly grown or
+    prefix-compacted map concentrates all free slots on the last shards,
+    starving densification on the full ones. Call this when first sharding a
+    map and after any capacity growth; subsequent clone/split events place
+    children on the parent's shard, which keeps the balance roughly even.
+    Slot order is semantically irrelevant (rendering sorts by depth; Adam is
+    elementwise), so this is a pure relabeling. Host-side numpy (a rare
+    structural event, like capacity growth)."""
+    live = np.asarray(state.live)
+    cap = live.shape[0]
+    assert cap % n_shards == 0
+    per = cap // n_shards
+    order = np.argsort(~live, kind="stable")       # live rows first
+    dest = (np.arange(cap) % n_shards) * per + np.arange(cap) // n_shards
+    gather_idx = np.empty(cap, np.int64)
+    gather_idx[dest] = order                       # new_row[d] = old[order[i]]
+    take = lambda x: x[jnp.asarray(gather_idx)]    # noqa: E731
+    state = jax.tree.map(take, state)
+    opt_state = optim.AdamState(m=jax.tree.map(take, opt_state.m),
+                                v=jax.tree.map(take, opt_state.v),
+                                step=opt_state.step)
+    return state, opt_state

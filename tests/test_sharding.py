@@ -197,3 +197,119 @@ class TestImageShardedRender:
         assert img.shape == (3, 128, 96)
         np.testing.assert_allclose(np.asarray(img), np.asarray(ref.image),
                                    atol=2e-5)
+
+
+class TestGaussianSharded:
+    """Map-sharded ('gp') training: params + Adam split over devices."""
+
+    def _setup(self, n=128, width=64, height=48):
+        import jax.numpy as jnp
+
+        import __graft_entry__ as ge
+        from photo_slam_tpu.models import optimizer as optim
+        from photo_slam_tpu.ops.camera_math import build_camera_matrices
+        from photo_slam_tpu.ops.render import RenderSettings
+
+        state, _, _, _, tanf = ge._make_scene(n=n, width=width, height=height)
+        # No k_dup / per-tile clipping: the band-clipped footprint then bins
+        # identical per-tile lists and the sharded step is bit-comparable.
+        settings = RenderSettings(width=width, height=height, tan_fovx=tanf,
+                                  tan_fovy=tanf * height / width, sh_degree=3,
+                                  max_per_tile=512, max_tiles_per_gaussian=64,
+                                  tiles_per_chunk=4)
+        rng = np.random.RandomState(7)
+        cam = build_camera_matrices(np.eye(3), np.zeros(3), 0.01, 100.0,
+                                    1.0, 1.0)
+        gt = jnp.asarray(rng.rand(3, height, width).astype(np.float32))
+        mask = jnp.ones((height, width), jnp.float32)
+        lrs = optim.LearningRates.create(1.6e-4, 2.5e-3, 0.05, 5e-3, 1e-3)
+        return state, cam, gt, mask, lrs, settings
+
+    def test_step_matches_replicated(self):
+        """Loss, param update, Adam moments and densification stats of the
+        Gaussian-sharded step must match the single-device replicated step
+        (VERDICT r4 item 4)."""
+        import jax.numpy as jnp
+
+        from photo_slam_tpu.mapper.trainer import train_step
+        from photo_slam_tpu.models import optimizer as optim
+        from photo_slam_tpu.parallel.sharding import (
+            make_gp_mesh, shard_gaussian_state, train_step_gaussian_sharded)
+
+        state, cam, gt, mask, lrs, settings = self._setup()
+        bg = jnp.zeros(3)
+        lam = jnp.float32(0.2)
+
+        st_ref = jax.tree.map(jnp.copy, state)
+        opt_ref = optim.init_adam(st_ref.params)
+        st1, opt1, m1 = train_step(st_ref, opt_ref, cam, gt, mask, lrs, bg,
+                                   lam, settings)
+
+        mesh = make_gp_mesh(8)
+        st_s, opt_s = shard_gaussian_state(
+            mesh, jax.tree.map(jnp.copy, state),
+            optim.init_adam(state.params))
+        # Every device holds capacity/8 Gaussians.
+        assert (st_s.params.xyz.addressable_shards[0].data.shape[0]
+                == state.capacity // 8)
+        st8, opt8, m8 = train_step_gaussian_sharded(
+            st_s, opt_s, cam, gt, mask, lrs, bg, lam, settings, mesh)
+
+        assert float(m1["loss"]) == pytest.approx(float(m8["loss"]),
+                                                  rel=1e-6, abs=1e-7)
+        assert int(m1["num_visible"]) == int(m8["num_visible"])
+        for a, b, name in [
+            (st1.params, st8.params, "params"),
+            (st1.xyz_grad_accum, st8.xyz_grad_accum, "grad_accum"),
+            (st1.max_radii2d, st8.max_radii2d, "max_radii2d"),
+            (st1.denom, st8.denom, "denom"),
+            (opt1.m, opt8.m, "adam_m"),
+            (opt1.v, opt8.v, "adam_v"),
+        ]:
+            for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+                np.testing.assert_allclose(
+                    np.asarray(la), np.asarray(lb), atol=1e-6, rtol=1e-5,
+                    err_msg=f"{name} diverged (sharded vs replicated)")
+
+    def test_sharded_densify_and_second_step(self):
+        """Densify runs shard-local (per-shard budget + folded key) and the
+        step keeps training on the densified sharded map."""
+        import jax.numpy as jnp
+
+        from photo_slam_tpu.models import gaussian_model as gm
+        from photo_slam_tpu.models import optimizer as optim
+        from photo_slam_tpu.parallel.sharding import (
+            densify_step_gaussian_sharded, make_gp_mesh, shard_gaussian_state,
+            train_step_gaussian_sharded)
+
+        from photo_slam_tpu.parallel.sharding import deal_gaussian_shards
+
+        state, cam, gt, mask, lrs, settings = self._setup()
+        # Headroom for clones: double the capacity (the _make_scene default
+        # is exactly-full, where the budget gate rightly approves nothing).
+        # Grown capacity concentrates ALL free slots on the last shards —
+        # deal_gaussian_shards rebalances so each shard-local densify budget
+        # sees its share (without it, full shards approve nothing and empty
+        # shards have nothing to clone).
+        state = gm.grow_capacity(state, state.capacity * 2)
+        opt0 = optim.init_adam(state.params)
+        state, opt0 = deal_gaussian_shards(state, opt0, 8)
+        bg = jnp.zeros(3)
+        lam = jnp.float32(0.2)
+        mesh = make_gp_mesh(8)
+        live_before = int(gm.num_live(state))
+        st, opt = shard_gaussian_state(mesh, state, opt0)
+        st, opt, _ = train_step_gaussian_sharded(
+            st, opt, cam, gt, mask, lrs, bg, lam, settings, mesh)
+        st, opt, info = densify_step_gaussian_sharded(
+            st, opt, jax.random.PRNGKey(0), jnp.float32(100.0),
+            grad_threshold=0.0, min_opacity=0.005, max_screen_size=0,
+            percent_dense=0.5, mesh=mesh)
+        # grad_threshold 0 + generous extent: visible Gaussians clone.
+        assert int(info.num_cloned) > 0
+        assert int(gm.num_live(st)) > live_before
+        # Stats reset by the event, per shard.
+        assert float(jnp.abs(st.xyz_grad_accum).max()) == 0.0
+        st, opt, m = train_step_gaussian_sharded(
+            st, opt, cam, gt, mask, lrs, bg, lam, settings, mesh)
+        assert np.isfinite(float(m["loss"]))

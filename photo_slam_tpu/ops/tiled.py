@@ -31,12 +31,24 @@ from photo_slam_tpu.ops.preprocess import Preprocessed
 # (a lax.cond picks at runtime, so correctness never depends on the cap).
 _DROP_CAP = 1 << 18
 
+# The packed FEAT=16 entry layout uses lanes 0..8 (mean2d, conic, opacity,
+# rgb — ops/pallas/blend.py module doc); lanes 9..15 are zero padding whose
+# gradient is identically zero (the blend backward writes zeros there and
+# the feat pack discards them). render_pallas passes route_lanes=10 (9 used,
+# rounded even for int32 bf16-pair packing) so the gradient transposes below
+# route only gradient-carrying bytes — the sort payload and stencil
+# reduction are HBM-bandwidth-bound, so dropping 6/16 of the bytes is a
+# direct win (VERDICT r4 next-item 3). route_lanes=None routes everything
+# (the generic contract).
+ROUTE_LANES_PACKED = 10
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
 def entry_gather(feat: jnp.ndarray, entry_lists: jnp.ndarray,
                  sorted_entries: jnp.ndarray, sorted_tiles: jnp.ndarray,
                  starts: jnp.ndarray, tile_counts: jnp.ndarray,
-                 entry_counts, k_dup: int, slot_offset: int = 0):
+                 entry_counts, k_dup: int, slot_offset: int = 0,
+                 route_lanes: int | None = None):
     """Gather per-Gaussian rows by ENTRY id with a scatter-free transpose.
 
     entry_lists hold unique entry ids (gaussian * k_dup + slot, -1 invalid).
@@ -70,14 +82,16 @@ def entry_gather(feat: jnp.ndarray, entry_lists: jnp.ndarray,
 
 
 def _entry_gather_fwd(feat, entry_lists, sorted_entries, sorted_tiles, starts,
-                      tile_counts, entry_counts, k_dup, slot_offset=0):
+                      tile_counts, entry_counts, k_dup, slot_offset=0,
+                      route_lanes=None):
     out = entry_gather(feat, entry_lists, sorted_entries, sorted_tiles,
-                       starts, tile_counts, entry_counts, k_dup, slot_offset)
+                       starts, tile_counts, entry_counts, k_dup, slot_offset,
+                       route_lanes)
     return out, (feat.shape, entry_lists, sorted_entries, sorted_tiles,
                  starts, tile_counts, entry_counts)
 
 
-def _entry_gather_bwd(k_dup, slot_offset, residuals, g):
+def _entry_gather_bwd(k_dup, slot_offset, route_lanes, residuals, g):
     import numpy as np
 
     (feat_shape, entry_lists, sorted_entries, sorted_tiles, starts,
@@ -86,7 +100,8 @@ def _entry_gather_bwd(k_dup, slot_offset, residuals, g):
     num_tiles, k_max = entry_lists.shape
     e_total = sorted_entries.shape[0]
     t_k = num_tiles * k_max
-    g_flat = g.reshape(-1, d)  # [T*K, d]
+    du = d if route_lanes is None else min(route_lanes, d)
+    g_flat = g.reshape(-1, d)[:, :du]  # [T*K, du]
 
     # Stream-side slot-within-tile, computed WITHOUT per-element random
     # gathers (XLA lowers large 1D gathers on TPU to ~12ns/element loops —
@@ -122,17 +137,17 @@ def _entry_gather_bwd(k_dup, slot_offset, residuals, g):
         # before an f32 accumulation — noise far below the single-view
         # stochastic gradient noise Adam already absorbs.
         rows = jnp.take(g_flat.astype(jnp.bfloat16), jnp.where(ok, ptr, 0),
-                        axis=0)  # [n*k_dup, d]
+                        axis=0)  # [n*k_dup, du]
         rows = jnp.where(ok[:, None], rows, jnp.bfloat16(0))
-        # k_dup reduction on the MXU: [n, k_dup*d] x stacked identities. The
-        # axis-1 sum of a [n, k_dup, d] view lowers to slow VPU shuffles;
+        # k_dup reduction on the MXU: [n, k_dup*du] x stacked identities. The
+        # axis-1 sum of a [n, k_dup, du] view lowers to slow VPU shuffles;
         # the matmul accumulates in f32.
-        sel = jnp.tile(jnp.eye(d, dtype=jnp.bfloat16), (k_dup, 1))
+        sel = jnp.tile(jnp.eye(du, dtype=jnp.bfloat16), (k_dup, 1))
         return jax.lax.dot_general(
-            rows.reshape(n, k_dup * d), sel, (((1,), (0,)), ((), ())),
+            rows.reshape(n, k_dup * du), sel, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-    if slot_offset == 0 and entry_counts is not None and d % 2 == 0:
+    if slot_offset == 0 and entry_counts is not None and du % 2 == 0:
         INT_MAX = jnp.int32(2**31 - 1)
         drop_cap = min(_DROP_CAP, e_total)
         dropped = (t < num_tiles) & (slot_k >= k_max)
@@ -141,21 +156,21 @@ def _entry_gather_bwd(k_dup, slot_offset, residuals, g):
         dkeys = dkeys[:drop_cap]
 
         def sort_route(g_flat):
-            # Pack each bf16 gradient row into d/2 int32 payload lanes and
+            # Pack each bf16 gradient row into du/2 int32 payload lanes and
             # sort by entry id (invalid table slots -> INT_MAX, landing past
             # every real segment with gid sentinel n, never read).
             rows = g_flat.astype(jnp.bfloat16)
             packed = jax.lax.bitcast_convert_type(
-                rows.reshape(t_k, d // 2, 2), jnp.int32)
+                rows.reshape(t_k, du // 2, 2), jnp.int32)
             keys_tab = entry_lists.reshape(-1)
             keys_tab = jnp.where(keys_tab < 0, INT_MAX, keys_tab)
             keys_all = jnp.concatenate([keys_tab, dkeys])
             zpad = jnp.zeros((drop_cap,), jnp.int32)
             ops = [keys_all] + [jnp.concatenate([packed[:, i], zpad])
-                                for i in range(d // 2)]
+                                for i in range(du // 2)]
             out = jax.lax.sort(tuple(ops), num_keys=1, is_stable=False)
             rows_s = jax.lax.bitcast_convert_type(
-                jnp.stack(out[1:], axis=1), jnp.bfloat16).reshape(-1, d)
+                jnp.stack(out[1:], axis=1), jnp.bfloat16).reshape(-1, du)
             keys_s = out[0]
             gid_s = jnp.where(keys_s == INT_MAX, jnp.int32(n),
                               keys_s // k_dup)
@@ -165,7 +180,7 @@ def _entry_gather_bwd(k_dup, slot_offset, residuals, g):
             total = rows_s.astype(jnp.float32)
             for j in range(1, k_dup):
                 r_j = jnp.concatenate(
-                    [rows_s[j:], jnp.zeros((j, d), jnp.bfloat16)], 0)
+                    [rows_s[j:], jnp.zeros((j, du), jnp.bfloat16)], 0)
                 g_j = jnp.concatenate(
                     [gid_s[j:], jnp.full((j,), n, jnp.int32)], 0)
                 total = total + jnp.where((g_j == gid_s)[:, None],
@@ -179,6 +194,8 @@ def _entry_gather_bwd(k_dup, slot_offset, residuals, g):
                               fallback_route, g_flat)
     else:
         d_feat = fallback_route(g_flat)
+    if du < d:
+        d_feat = jnp.pad(d_feat, ((0, 0), (0, d - du)))
 
     f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
     d_counts = None if entry_counts is None else f0(entry_counts)
@@ -189,9 +206,10 @@ def _entry_gather_bwd(k_dup, slot_offset, residuals, g):
 entry_gather.defvjp(_entry_gather_fwd, _entry_gather_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def entry_gather_windows(feat, entry_lists, window_starts, counts,
-                         sorted_entries, k_dup: int):
+                         sorted_entries, k_dup: int,
+                         route_lanes: int | None = None):
     """entry_gather for R arbitrary stream windows — the compact overflow
     continuation gathers ONLY the overflowed tiles' windows instead of a
     full [T, K] table. entry_lists [R, K] (-1 invalid), window_starts [R]
@@ -202,14 +220,14 @@ def entry_gather_windows(feat, entry_lists, window_starts, counts,
 
 
 def _egw_fwd(feat, entry_lists, window_starts, counts, sorted_entries,
-             k_dup):
+             k_dup, route_lanes=None):
     out = entry_gather_windows(feat, entry_lists, window_starts, counts,
-                               sorted_entries, k_dup)
+                               sorted_entries, k_dup, route_lanes)
     return out, (feat.shape, entry_lists.shape, window_starts, counts,
                  sorted_entries)
 
 
-def _egw_bwd(k_dup, residuals, g):
+def _egw_bwd(k_dup, route_lanes, residuals, g):
     """Transpose via the same scatter-free route as entry_gather: build the
     stream-position -> gradient-row map for the R windows with a TINY
     boundary scatter (2R deltas) + cumsum, then one sort routes rows to
@@ -221,7 +239,8 @@ def _egw_bwd(k_dup, residuals, g):
     n, d = feat_shape
     r_blocks, k_max = lists_shape
     e_total = sorted_entries.shape[0]
-    g_flat = g.reshape(-1, d)
+    du = d if route_lanes is None else min(route_lanes, d)
+    g_flat = g.reshape(-1, d)[:, :du]
 
     ws = jnp.minimum(window_starts.astype(jnp.int32), e_total)
     we = jnp.minimum(ws + counts.astype(jnp.int32), e_total)
@@ -241,10 +260,12 @@ def _egw_bwd(k_dup, residuals, g):
     rows = jnp.take(g_flat.astype(jnp.bfloat16), jnp.where(ok, ptr, 0),
                     axis=0)
     rows = jnp.where(ok[:, None], rows, jnp.bfloat16(0))
-    sel = jnp.tile(jnp.eye(d, dtype=jnp.bfloat16), (k_dup, 1))
+    sel = jnp.tile(jnp.eye(du, dtype=jnp.bfloat16), (k_dup, 1))
     d_feat = jax.lax.dot_general(
-        rows.reshape(n, k_dup * d), sel, (((1,), (0,)), ((), ())),
+        rows.reshape(n, k_dup * du), sel, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
+    if du < d:
+        d_feat = jnp.pad(d_feat, ((0, 0), (0, d - du)))
     f0 = lambda shape: np.zeros(shape, dtype=jax.dtypes.float0)
     return (d_feat, f0(lists_shape), f0(window_starts.shape),
             f0(counts.shape), f0(sorted_entries.shape))
@@ -420,8 +441,8 @@ def render_pallas(
     data_tiles = entry_gather(feat, binning.tile_lists,
                               binning.sorted_entries, binning.sorted_tiles,
                               binning.starts, binning.tile_counts,
-                              binning.entry_counts,
-                              max_tiles_per_gaussian)  # [T, K, 16]
+                              binning.entry_counts, max_tiles_per_gaussian,
+                              0, ROUTE_LANES_PACKED)  # [T, K, 16]
 
     color, final_t, n_contrib = pallas_blend(
         data_tiles, binning.tile_counts, gx, num_tiles)
@@ -464,7 +485,8 @@ def render_pallas(
             lists_p = jnp.where(in_range, window, -1)
             data_p = entry_gather_windows(feat, lists_p, starts_sub,
                                           counts_sub, binning.sorted_entries,
-                                          max_tiles_per_gaussian)
+                                          max_tiles_per_gaussian,
+                                          ROUTE_LANES_PACKED)
             c_p, t_p, n_p = pallas_blend(data_p, counts_sub, gx, t_sub,
                                          order)
             onehot = (jnp.arange(num_tiles, dtype=jnp.int32)[:, None]
@@ -489,7 +511,7 @@ def render_pallas(
             data_p = entry_gather(feat, lists_p, binning.sorted_entries,
                                   binning.sorted_tiles, binning.starts,
                                   counts_p, None, max_tiles_per_gaussian,
-                                  slot_offset=offset)
+                                  offset, ROUTE_LANES_PACKED)
             c_p, t_p, n_p = pallas_blend(data_p, counts_p, gx, num_tiles)
             color = color + final_t[:, None] * c_p
             n_contrib = n_contrib + n_p

@@ -333,6 +333,28 @@ class TestEntryGatherTranspose:
         rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
         assert rel < 2e-2, rel
 
+    def test_route_lanes_matches_scatter_on_packed_layout(self):
+        """route_lanes=10 (the production packed-FEAT path) must match the
+        scatter reference exactly when the cotangent's padding lanes are
+        zero — the blend backward writes zeros there, so the production
+        step's gradients are unchanged by the byte shrink."""
+        from photo_slam_tpu.ops.tiled import ROUTE_LANES_PACKED, entry_gather
+
+        b, feat, g, ref, n, k_dup = self._setup()
+        g = g.at[..., ROUTE_LANES_PACKED:].set(0.0)
+        ref = ref.copy()
+        ref[:, ROUTE_LANES_PACKED:] = 0.0
+        for counts in (b.entry_counts, None):   # sort route + fallback
+            _, vjp = jax.vjp(
+                lambda ff: entry_gather(
+                    ff, b.tile_lists, b.sorted_entries, b.sorted_tiles,
+                    b.starts, b.tile_counts, counts, k_dup, 0,
+                    ROUTE_LANES_PACKED), feat)
+            got = np.asarray(vjp(g)[0])
+            rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+            assert rel < 2e-2, rel
+            assert np.abs(got[:, ROUTE_LANES_PACKED:]).max() == 0.0
+
     def test_drop_cap_cond_falls_back(self, monkeypatch):
         # Force the runtime cond onto the fallback branch: cap below the
         # actual dropped count.

@@ -45,6 +45,15 @@ EXIT_CHECK_INTERPRET = 16  # smaller unroll for CPU interpret mode (tests)
 def _exit_check() -> int:
     return EXIT_CHECK_INTERPRET if _use_interpret() else EXIT_CHECK
 
+
+def _bwd_group() -> int:
+    """Backward-traversal group size (sweepable via PS_BWD_GROUP)."""
+    import os
+
+    if _use_interpret():
+        return EXIT_CHECK_INTERPRET
+    return int(os.environ.get("PS_BWD_GROUP", str(EXIT_CHECK)))
+
 ALPHA_MAX = 0.99
 ALPHA_MIN = 1.0 / 255.0
 T_EPS = 1e-4
@@ -134,15 +143,14 @@ def _fwd_kernel(counts_ref, tiles_x_ref, ids_ref, data_ref, color_ref, t_ref,
             precision=jax.lax.Precision.HIGHEST)
         nc = jnp.maximum(nc, jnp.max(jnp.where(ok, rowi + k0 + 1, 0),
                                      axis=0, keepdims=True))
-        # Mosaic has no reduce_prod: total product of the APPLIED (1-alpha)
-        # factors via the same doubling ladder; last row = full product.
-        omp = jnp.where(ok, om, 1.0)
-        shift = 1
-        while shift < group:
-            omp = omp * jnp.where(rowi >= shift,
-                                  pltpu.roll(omp, shift, 0), 1.0)
-            shift *= 2
-        T = T * omp[group - 1:group, :]
+        # T after the group = product of the APPLIED (1-alpha) factors. No
+        # second ladder needed: S is monotone non-increasing over contrib
+        # entries, and every contrib entry before the last ok one is itself
+        # ok (S >= eps there), so min over ok of S IS T_in * prod of om over
+        # exactly the applied entries — bitwise-identical to the omp ladder
+        # this replaces, at the cost of one reduction instead of log2(G)
+        # rolls.
+        T = jnp.min(jnp.where(ok, S, T), axis=0, keepdims=True)
         dead = jnp.max(jnp.where(contrib & (S < T_EPS), 1.0, 0.0), axis=0,
                        keepdims=True)
         alive = jnp.where(dead > 0.0, 0.0, alive)
@@ -190,11 +198,21 @@ def _bwd_kernel(counts_ref, tiles_x_ref, ids_ref, data_ref, final_t_ref,
     yielding all nine gradient components — replacing the CUDA backward's
     warp reductions + atomicAdd (backward.cu:398-557).
     """
+    import os
+
     g = pl.program_id(0)
     count = counts_ref[g]
     tiles_x = tiles_x_ref[0]
     t = ids_ref[g]
-    group = _exit_check()
+    group = _bwd_group()
+    # Measured (tools/exp_bwd_sweep.py, 300k/1200x680): group 64 + roll
+    # ladders + separate moment matmuls is the optimum — 15.2 ms vs 18.8
+    # (group 32), 15.5 (merged [3G,P] matmul) and 20.6 (exp/log "MXU"
+    # ladders: the transcendentals are themselves VPU work, so nothing
+    # offloads). The kernel is VPU-issue-bound on its elementwise +
+    # roll-ladder work, not MXU-instruction-bound.
+    merge_mm = os.environ.get("PS_BWD_MERGE", "0") == "1"
+    use_mxu_ladders = os.environ.get("PS_BWD_LADDER", "roll") == "mxu"
     P = PIX_SUB * PIX_LANE
     # Tile-local pixel coordinates (0..TILE_PS): the moment basis. All
     # per-pixel arrays live as [1, P] rows broadcasting against [G, P].
@@ -206,6 +224,12 @@ def _bwd_kernel(counts_ref, tiles_x_ref, ids_ref, data_ref, final_t_ref,
     pxv = tx + lx
     pyv = ty + ly
     rowi = jax.lax.broadcasted_iota(jnp.int32, (group, P), 0)
+
+    # Inclusive-suffix triangular operator for the MXU ladders:
+    # tri_suf[i, j] = 1 iff j >= i, so (tri_suf @ x)_i = sum_{j>=i} x_j.
+    tri_suf = (jax.lax.broadcasted_iota(jnp.int32, (group, group), 1)
+               >= jax.lax.broadcasted_iota(jnp.int32, (group, group), 0)
+               ).astype(jnp.float32)
 
     gr = g_color_ref[0, 0].reshape(1, P)
     gg = g_color_ref[0, 1].reshape(1, P)
@@ -248,12 +272,22 @@ def _bwd_kernel(counts_ref, tiles_x_ref, ids_ref, data_ref, final_t_ref,
         om = jnp.where(valid, jnp.maximum(1.0 - alpha, 0.01), 1.0)
 
         # Inclusive suffix product S_k = prod_{j>=k} om_j (roll-up ladder).
-        S = om
-        shift = 1
-        while shift < group:
-            S = S * jnp.where(rowi < group - shift,
-                              pltpu.roll(S, group - shift, 0), 1.0)
-            shift *= 2
+        # The env-gated exp(TRI_SUF @ log(om)) MXU variant was measured
+        # SLOWER (20.6 vs 15.2 ms): log+exp are VPU transcendentals, so the
+        # "offload" adds VPU work instead of removing it. Kept gated for
+        # re-measurement on future hardware.
+        if use_mxu_ladders:
+            S = jnp.exp(jax.lax.dot_general(
+                tri_suf, jnp.log(om), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST))
+        else:
+            S = om
+            shift = 1
+            while shift < group:
+                S = S * jnp.where(rowi < group - shift,
+                                  pltpu.roll(S, group - shift, 0), 1.0)
+                shift *= 2
         T_k = T_in / S                                # T before entry k
         aT = jnp.where(valid, alpha * T_k, 0.0)
         # g.c per entry: ONE MXU matmul [G,3] x [3,P].
@@ -264,12 +298,18 @@ def _bwd_kernel(counts_ref, tiles_x_ref, ids_ref, data_ref, final_t_ref,
             precision=jax.lax.Precision.HIGHEST)
         u = aT * gc
         # Inclusive suffix sum, then exclusive: Bex_k = sum_{j>k} u_j.
-        U = u
-        shift = 1
-        while shift < group:
-            U = U + jnp.where(rowi < group - shift,
-                              pltpu.roll(U, group - shift, 0), 0.0)
-            shift *= 2
+        if use_mxu_ladders:
+            U = jax.lax.dot_general(
+                tri_suf, u, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+        else:
+            U = u
+            shift = 1
+            while shift < group:
+                U = U + jnp.where(rowi < group - shift,
+                                  pltpu.roll(U, group - shift, 0), 0.0)
+                shift *= 2
         Bc = Bc_in + U - u
 
         dL_dalpha = jnp.where(valid & (raw_alpha < ALPHA_MAX),
@@ -278,12 +318,29 @@ def _bwd_kernel(counts_ref, tiles_x_ref, ids_ref, data_ref, final_t_ref,
         dL_dpower = dL_dopac * rows[:, 5:6]
 
         # MXU reduction: moments[G,8] = fields @ basis^T over pixels.
-        moments = jax.lax.dot_general(
-            dL_dpower, basis_m, nt, preferred_element_type=jnp.float32)
-        cw = jax.lax.dot_general(
-            aT, basis_c, nt, preferred_element_type=jnp.float32)
-        co = jax.lax.dot_general(
-            dL_dopac, basis_c, nt, preferred_element_type=jnp.float32)
+        if merge_mm:
+            # One [3G, P] x [P, 8] matmul instead of three [G, P] x [P, 8]:
+            # the MXU output tile is mostly padding either way (8 of 128
+            # lanes), so fusing the row axis cuts the instruction count.
+            fields = jnp.concatenate([dL_dpower, aT, dL_dopac], axis=0)
+            basis_all = jnp.concatenate(
+                [one, lx, ly, lx * lx, lx * ly, ly * ly, gr, gg, gb],
+                axis=0)
+            allm = jax.lax.dot_general(
+                fields, basis_all, nt, preferred_element_type=jnp.float32)
+            moments = allm[0:group]            # cols 0..5 used
+            cw = allm[group:2 * group, 6:9]    # rgb color weights
+            cw = jnp.concatenate(
+                [cw, allm[2 * group:3 * group, 0:1]], axis=1)
+            co = cw[:, 3:4]                    # dL_dopac . 1
+        else:
+            moments = jax.lax.dot_general(
+                dL_dpower, basis_m, nt, preferred_element_type=jnp.float32)
+            cw = jax.lax.dot_general(
+                aT, basis_c, nt, preferred_element_type=jnp.float32)
+            co = jax.lax.dot_general(
+                dL_dopac, basis_c, nt, preferred_element_type=jnp.float32)[
+                :, 3:4]
 
         # Convert moments to gradient rows (tile-local mean coords).
         mx = rows[:, 0:1] - tx
@@ -303,7 +360,7 @@ def _bwd_kernel(counts_ref, tiles_x_ref, ids_ref, data_ref, final_t_ref,
         d_C = -0.5 * (my * ey - my * Sy + Syy)    # sum * dy^2
         # dx^2 expansion: mx^2 S0 - 2 mx Sx + Sxx = mx*ex - mx*Sx + Sxx;
         # dx*dy: mx my S0 - mx Sy - my Sx + Sxy = my*ex - mx*Sy + Sxy.
-        d_opac = co[:, 3:4]
+        d_opac = co
         d_r = cw[:, 0:1]
         d_g = cw[:, 1:2]
         d_b = cw[:, 2:3]

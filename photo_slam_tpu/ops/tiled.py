@@ -29,7 +29,10 @@ from photo_slam_tpu.ops.preprocess import Preprocessed
 # Static capacity for overflow-dropped entry enumeration in the sort-routed
 # transpose below; runs past it fall back to the permutation-inverse route
 # (a lax.cond picks at runtime, so correctness never depends on the cap).
-_DROP_CAP = 1 << 18
+# 2^17 = 2.7x the worst overflow observed at bench scale (47,982 dropped at
+# 300k/1200x680); every dropped entry is a zero-payload row appended to the
+# HBM-bandwidth-bound transpose sort, so the cap is kept tight.
+_DROP_CAP = 1 << 17
 
 # The packed FEAT=16 entry layout uses lanes 0..8 (mean2d, conic, opacity,
 # rgb — ops/pallas/blend.py module doc); lanes 9..15 are zero padding whose
@@ -110,15 +113,17 @@ def _entry_gather_bwd(k_dup, slot_offset, route_lanes, residuals, g):
     #   constant monotone expansion of `starts`, built with one TINY
     #   scatter-add (num_tiles deltas; empty tiles collide at the same
     #   position, which scatter-ADD handles) and a cumsum over the stream.
-    deltas = jnp.diff(starts)
-    starts_stream = jnp.zeros(e_total, jnp.int32).at[starts[1:]].add(
-        deltas, mode="drop")
-    starts_stream = jnp.cumsum(starts_stream)
     iota = jnp.arange(e_total, dtype=jnp.int32)
-    slot_k = iota - starts_stream - slot_offset
     t = sorted_tiles
 
+    def _starts_stream(limit):
+        deltas = jnp.diff(starts)
+        ss = jnp.zeros(limit, jnp.int32).at[starts[1:]].add(
+            deltas, mode="drop")
+        return jnp.cumsum(ss)
+
     def fallback_route(g_flat):
+        slot_k = iota - _starts_stream(e_total) - slot_offset
         # Rows past a tile's count are zero in the kernel output, so only
         # the hard window bounds and the sentinel tile need masking.
         # slot_offset selects the continuation window [offset, offset+k_max)
@@ -150,9 +155,19 @@ def _entry_gather_bwd(k_dup, slot_offset, route_lanes, residuals, g):
     if slot_offset == 0 and entry_counts is not None and du % 2 == 0:
         INT_MAX = jnp.int32(2**31 - 1)
         drop_cap = min(_DROP_CAP, e_total)
-        dropped = (t < num_tiles) & (slot_k >= k_max)
-        n_dropped = jnp.sum(dropped.astype(jnp.int32))
-        dkeys = jnp.sort(jnp.where(dropped, sorted_entries, INT_MAX))
+        # Every emitted entry is either within its tile's K window or
+        # dropped, so the dropped count needs NO stream pass:
+        n_dropped = jnp.sum(entry_counts) - jnp.sum(tile_counts)
+        # The dropped-id compaction sort only needs the stream PREFIX of
+        # t_k + drop_cap positions: valid entries occupy a stream prefix,
+        # at most t_k of them are in-table, so a dropped entry at position
+        # >= t_k + drop_cap implies n_dropped > drop_cap — which routes to
+        # the fallback anyway. Trims the 1-operand sort from e_total (n *
+        # k_dup) rows to ~t_k + drop_cap (1.8M -> 0.99M at bench shapes).
+        pfx = min(t_k + drop_cap, e_total)
+        slot_p = iota[:pfx] - _starts_stream(pfx)
+        dropped = (t[:pfx] < num_tiles) & (slot_p >= k_max)
+        dkeys = jnp.sort(jnp.where(dropped, sorted_entries[:pfx], INT_MAX))
         dkeys = dkeys[:drop_cap]
 
         def sort_route(g_flat):

@@ -43,7 +43,7 @@ def save_trajectory_tum(path, keyframes) -> None:
 
 def _make_tracker(frontend: str, dataset, sensor: SensorType,
                   keyframe_every: int, num_keypoints: int,
-                  async_mapping: bool = True):
+                  async_mapping: bool = True, use_imu: bool = False):
     if frontend == "gt":
         return GroundTruthTracker(dataset.camera,
                                   keyframe_every=keyframe_every,
@@ -54,9 +54,14 @@ def _make_tracker(frontend: str, dataset, sensor: SensorType,
     from photo_slam_tpu.tracking.frontend import SlamFrontend
     sensor_name = {SensorType.MONOCULAR: "mono", SensorType.STEREO: "stereo",
                    SensorType.RGBD: "rgbd"}[sensor]
+    imu_calib = getattr(dataset, "imu_calib", None)
+    if use_imu and imu_calib is None:
+        raise ValueError("--imu requested but the dataset has no IMU "
+                         "channel/calibration (expected mav0/imu0)")
     return SlamFrontend(dataset.camera, sensor=sensor_name,
                         num_features=max(num_keypoints, 1000),
-                        async_local_mapping=async_mapping)
+                        async_local_mapping=async_mapping,
+                        use_imu=use_imu, imu_calib=imu_calib)
 
 
 def run_online(dataset, sensor: SensorType, cfg: Config, out_dir,
@@ -64,7 +69,8 @@ def run_online(dataset, sensor: SensorType, cfg: Config, out_dir,
                max_iterations=None, threaded: bool = True,
                frontend: str = "slam", viewer: bool = False,
                viewer_port: int = 8090, batch: int = 1,
-               async_mapping: bool = True) -> GaussianMapper:
+               async_mapping: bool = True,
+               use_imu: bool = False) -> GaussianMapper:
     """Drive a sequence through tracker + mapper (reference:
     examples/replica_rgbd.cpp main). `frontend` selects the tracking stack:
     "slam" (full feature frontend: local map + local BA + loop closing),
@@ -218,6 +224,14 @@ def _common_parser():
     ap.add_argument("--batch", type=int, default=1,
                     help="multi-view batched training: B keyframes per "
                          "optimization step (shards over a device mesh)")
+    ap.add_argument("--imu", action="store_true",
+                    help="visual-inertial tracking (IMU_MONOCULAR / "
+                         "IMU_STEREO roles): preintegrate the dataset's "
+                         "IMU channel and run the visual-inertial "
+                         "initialization (scale + gravity + biases; "
+                         "reference: ORB-SLAM3 LocalMapping::InitializeIMU)."
+                         " Requires a dataset with an IMU channel (EuRoC "
+                         "mav0/imu0) and frontend=slam")
     ap.add_argument("--async-mapping", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="run the SLAM frontend's local mapping (cull + "

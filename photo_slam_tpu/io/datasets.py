@@ -252,6 +252,52 @@ class EurocDataset:
                     f"explicit camera given")
             self.camera = camera
 
+        # IMU channel (mav0/imu0): measurements + body-from-rectified-cam0
+        # calibration for the visual-inertial frontend (reference:
+        # ORB-SLAM3 mono_inertial_euroc.cc LoadIMU + Tracking's mTbc).
+        self.imu_stamps = None      # [M] seconds
+        self.imu_gyro = None        # [M,3] rad/s
+        self.imu_acc = None         # [M,3] m/s^2
+        self.imu_calib = None
+        imu_csv = mav / "imu0" / "data.csv"
+        if imu_csv.exists():
+            rows = []
+            for line in imu_csv.read_text().splitlines():
+                if line.startswith("#") or not line.strip():
+                    continue
+                vals = [float(v) for v in line.strip().split(",")[:7]]
+                if len(vals) == 7:
+                    rows.append(vals)
+            if rows:
+                arr = np.array(rows)
+                self.imu_stamps = arr[:, 0] * 1e-9
+                self.imu_gyro = arr[:, 1:4]
+                self.imu_acc = arr[:, 4:7]
+            cal_imu = (_parse_euroc_sensor_yaml(mav / "imu0" / "sensor.yaml")
+                       if (mav / "imu0" / "sensor.yaml").exists() else {})
+            from photo_slam_tpu.tracking.imu import ImuCalib
+            import re as _re
+            text = ((mav / "imu0" / "sensor.yaml").read_text()
+                    if (mav / "imu0" / "sensor.yaml").exists() else "")
+
+            def _scalar(key, default):
+                m = _re.search(key + r":\s*([0-9eE.+-]+)", text)
+                return float(m.group(1)) if m else default
+
+            # Tbc maps rectified-cam0 coords to the IMU (body) frame:
+            # T_S_imu<-B @ T_B<-C0 @ (rectifying R1)^T.
+            T_B_Simu = cal_imu.get("T_BS", np.eye(4))
+            R1h = np.eye(4)
+            R1h[:3, :3] = self.R1.T
+            Tbc = np.linalg.inv(T_B_Simu) @ self.T_BC0 @ R1h
+            self.imu_calib = ImuCalib(
+                Tbc=Tbc,
+                noise_gyro=_scalar("gyroscope_noise_density", 1.7e-4),
+                noise_acc=_scalar("accelerometer_noise_density", 2.0e-3),
+                walk_gyro=_scalar("gyroscope_random_walk", 1.9e-5),
+                walk_acc=_scalar("accelerometer_random_walk", 3.0e-3),
+                freq=_scalar("rate_hz", 200.0))
+
         # Ground truth: body poses in world (p_RS_R, q_RS in w,x,y,z order).
         self.gt_times = None
         self.gt_T_WB = None
@@ -362,6 +408,7 @@ class EurocDataset:
         right_by_ts = {ts: rp for ts, rp in self.right}
         right_times = np.array(sorted(right_by_ts)) if right_by_ts else None
         count = 0
+        prev_t = None
         for ts, lp in self.left:
             if count >= n:
                 break
@@ -382,5 +429,21 @@ class EurocDataset:
             quat, trans = self._pose_at(ts)
             if quat is None:
                 quat, trans = np.array([1.0, 0, 0, 0]), np.zeros(3)
+            t_sec = ts * 1e-9
+            # IMU span since the previous emitted frame ((t_prev, t]; the
+            # frontend's integrate_span clips to exact frame boundaries) —
+            # the per-frame vImuMeas the reference mains hand to
+            # TrackStereo/TrackMonocular (mono_inertial_euroc.cc).
+            imu = None
+            if self.imu_stamps is not None and prev_t is not None:
+                i0 = int(np.searchsorted(self.imu_stamps,
+                                         prev_t - 0.5 / max(
+                                             self.imu_calib.freq, 1.0)))
+                i1 = int(np.searchsorted(self.imu_stamps, t_sec, "right"))
+                if i1 > i0:
+                    imu = (self.imu_stamps[i0:i1], self.imu_acc[i0:i1],
+                           self.imu_gyro[i0:i1])
+            prev_t = t_sec
             yield Frame(image=img, quat_wxyz=quat, trans=trans, depth=None,
-                        right=right, filename=lp.name, timestamp=ts * 1e-9)
+                        right=right, filename=lp.name, timestamp=t_sec,
+                        imu=imu)

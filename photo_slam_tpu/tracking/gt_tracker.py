@@ -35,6 +35,9 @@ class Frame:
     right: Optional[np.ndarray] = None  # [3,H,W] right image (stereo)
     filename: str = ""
     timestamp: Optional[float] = None  # seconds (trajectory savers)
+    imu: Optional[tuple] = None       # (stamps[M], acc[M,3], gyro[M,3])
+    #                                   covering the span since the previous
+    #                                   frame (inertial sensors only)
 
 
 class GroundTruthTracker:

@@ -36,7 +36,22 @@ distortion_coefficients: [{dist[0]}, {dist[1]}, {dist[2]}, {dist[3]}]
 """
 
 
-def write_euroc_like(root: Path, num=4):
+def _imu_yaml(T_BS):
+    rows = ", ".join(f"{v:.9f}" for v in T_BS.reshape(-1))
+    return f"""sensor_type: imu
+T_BS:
+  cols: 4
+  rows: 4
+  data: [{rows}]
+rate_hz: 200
+gyroscope_noise_density: 1.6968e-04
+gyroscope_random_walk: 1.9393e-05
+accelerometer_noise_density: 2.0e-3
+accelerometer_random_walk: 3.0e-3
+"""
+
+
+def write_euroc_like(root: Path, num=4, imu=False):
     """EuRoC-format tree: cam0/cam1 with mild distortion and a small
     relative rotation, textured images, body-frame GT."""
     rng = np.random.RandomState(0)
@@ -61,6 +76,26 @@ def write_euroc_like(root: Path, num=4):
             img = rng.randint(0, 255, (H, W, 3), np.uint8)
             cv2.imwrite(str(d / "data" / f"{ts}.png"), img)
             lines.append(f"{ts},{ts}.png")
+        (d / "data.csv").write_text("\n".join(lines) + "\n")
+
+    if imu:
+        # imu0 channel at 200 Hz spanning the camera window (EuRoC column
+        # order: timestamp, w_xyz, a_xyz).
+        d = mav / "imu0"
+        d.mkdir(parents=True)
+        (d / "sensor.yaml").write_text(_imu_yaml(np.eye(4)))
+        t_first = 1403636579763555584 - 50_000_000
+        t_last = 1403636579763555584 + num * 50_000_000
+        lines = ["#timestamp [ns],w_RS_S_x [rad s^-1],w_RS_S_y [rad s^-1],"
+                 "w_RS_S_z [rad s^-1],a_RS_S_x [m s^-2],a_RS_S_y [m s^-2],"
+                 "a_RS_S_z [m s^-2]"]
+        k = 0
+        ts = t_first
+        while ts <= t_last:
+            lines.append(f"{ts},{0.001 * k},{-0.002 * k},{0.0005 * k},"
+                         f"{0.01 * k},{9.81},{0.02 * k}")
+            ts += 5_000_000
+            k += 1
         (d / "data.csv").write_text("\n".join(lines) + "\n")
 
     gt = mav / "state_groundtruth_estimate0"
@@ -176,6 +211,55 @@ class TestStereoPairing:
         assert float(dropped_ts) * 1e-9 not in [round(t, 9) for t in times]
         for f in got:
             assert f.right is not None and f.right.shape == f.image.shape
+
+
+class TestEurocImuChannel:
+    def test_imu_loaded_and_frames_carry_spans(self, tmp_path):
+        """mav0/imu0 loads into (stamps, gyro, acc) + an ImuCalib whose Tbc
+        maps RECTIFIED cam0 into the body frame, and frames() attaches the
+        per-frame measurement span the frontend preintegrates (the
+        vImuMeas handoff of the reference mains,
+        ORB-SLAM3/Examples/.../mono_inertial_euroc.cc LoadIMU)."""
+        root = write_euroc_like(tmp_path / "MH_imu", num=4, imu=True)
+        ds = EurocDataset(root)
+        assert ds.imu_stamps is not None and len(ds.imu_stamps) > 30
+        assert ds.imu_gyro.shape == ds.imu_acc.shape \
+            == (len(ds.imu_stamps), 3)
+        # Column order: gravity sits in a_y of the fixture.
+        assert np.allclose(ds.imu_acc[:, 1], 9.81)
+        cal = ds.imu_calib
+        assert cal.freq == 200.0
+        assert cal.noise_gyro == pytest.approx(1.6968e-4)
+        assert cal.walk_acc == pytest.approx(3.0e-3)
+        # T_BS(imu)=I: Tbc composes camera extrinsics with the rectifying
+        # rotation, Tbc = T_BC0 @ diag(R1^T).
+        R1h = np.eye(4)
+        R1h[:3, :3] = ds.R1.T
+        np.testing.assert_allclose(cal.Tbc, ds.T_BC0 @ R1h, atol=1e-9)
+
+        frames = list(ds.frames())
+        assert frames[0].imu is None          # nothing before frame 0
+        t_prev = frames[0].timestamp
+        for fr in frames[1:]:
+            stamps, acc, gyro = fr.imu
+            assert len(stamps) >= 9           # 200 Hz over 50 ms + boundary
+            assert acc.shape == (len(stamps), 3)
+            # Span covers (prev, t]: last sample at/before the frame, and
+            # at most one boundary sample before prev (integrate_span
+            # clips it to the exact boundary).
+            assert stamps[-1] <= fr.timestamp + 1e-9
+            assert stamps[0] >= t_prev - (0.5 / 200.0) - 1e-9
+            assert stamps[1] > t_prev - 1e-9
+            t_prev = fr.timestamp
+
+    def test_app_imu_flag_requires_channel(self, euroc_root):
+        """--imu on a dataset without mav0/imu0 must fail loudly."""
+        from photo_slam_tpu.apps.online_slam import _make_tracker
+        from photo_slam_tpu.mapper.mapper import SensorType
+        ds = EurocDataset(euroc_root)
+        with pytest.raises(ValueError, match="no IMU"):
+            _make_tracker("slam", ds, SensorType.STEREO, 5, 400,
+                          use_imu=True)
 
 
 class TestSynthEurocGenerator:

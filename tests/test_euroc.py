@@ -263,6 +263,48 @@ class TestEurocImuChannel:
 
 
 class TestSynthEurocGenerator:
+    def test_imu_stream_consistent_with_trajectory(self, tmp_path):
+        """The generator's 200 Hz IMU channel must be dynamically exact:
+        preintegrating it between two frame times and dead-reckoning from
+        the GT state must land on the GT pose (this is what makes `--imu`
+        runs on the synthetic sequence meaningful)."""
+        import sys
+        sys.path.insert(0, str(Path(__file__).resolve().parent.parent
+                               / "tools"))
+        from gen_synth_euroc import trajectory, write_imu
+
+        from photo_slam_tpu.tracking.imu import GRAVITY, Preintegrated
+
+        num = 40
+        pose_of_time = trajectory(num)
+        mav = tmp_path / "mav0"
+        mav.mkdir()
+        write_imu(mav, num, pose_of_time)
+        rows = [r for r in (mav / "imu0" / "data.csv").read_text()
+                .splitlines() if not r.startswith("#")]
+        arr = np.array([[float(v) for v in r.split(",")] for r in rows])
+        assert len(arr) >= 200 * (num - 1) / 20
+        stamps = (arr[:, 0] - arr[0, 0]) * 1e-9
+        gyros, accs = arr[:, 1:4], arr[:, 4:7]
+
+        # Numeric GT velocity at t0 (central difference). The window stays
+        # inside the outbound half: the yaw-rate sign flip at the
+        # turn-around (t = half/20) is smeared over one 5 ms IMU sample
+        # (~0.0055 rad), which is physical for a held-rate gyro.
+        t0, t1, h = 0.1, 0.9, 1e-4
+        _, c_m = pose_of_time(t0 - h)
+        _, c_p = pose_of_time(t0 + h)
+        v0 = (c_p - c_m) / (2 * h)
+        R0, p0 = pose_of_time(t0)
+        R1, p1 = pose_of_time(t1)
+        pre = Preintegrated()
+        pre.integrate_span(stamps, accs, gyros, t0, t1)
+        R2, _v2, p2 = pre.predict(R0.T, v0, p0)
+        from photo_slam_tpu.tracking.imu import so3_log
+        assert np.linalg.norm(so3_log(R2.T @ R1.T)) < 5e-3
+        assert np.linalg.norm(p2 - p1) < 5e-3
+        assert abs(pre.dT - (t1 - t0)) < 1e-6
+
     def test_sensor_yaml_parses_through_loader(self, tmp_path):
         """tools/gen_synth_euroc's sensor.yaml must round-trip through the
         loader's dependency-free parser (the soak's stereo sequence uses

@@ -7,7 +7,14 @@ reference: examples/euroc_stereo.cpp):
 
   mav0/cam0/{data.csv, sensor.yaml, data/<ts>.png}   (left, grayscale)
   mav0/cam1/{data.csv, sensor.yaml, data/<ts>.png}   (right)
+  mav0/imu0/{data.csv, sensor.yaml}                  (200 Hz, exact)
   mav0/state_groundtruth_estimate0/data.csv          (T_WB body poses)
+
+The IMU channel is analytically exact (body rate from the pose derivative,
+specific force = R_wb^T (a_w - g_w), central finite differences of the same
+continuous-time trajectory the frames sample), so `--imu` runs of
+apps.online_slam euroc_stereo exercise the full visual-inertial path
+(preintegration -> init -> gravity alignment) against known ground truth.
 
 The cameras are ideal pinholes (zero distortion) with a pure x baseline, so
 the loader's calibrated cv2.stereoRectify path runs for real but resolves to
@@ -55,6 +62,83 @@ def sensor_yaml(t_bs: np.ndarray) -> str:
     )
 
 
+def trajectory(num: int, yaw_max: float = 1.1):
+    """Continuous-time out-and-back trajectory (t in seconds; the 20 Hz
+    frames sample it at t = i/20). Returns pose_of_time(t) -> (R_cw, c_w)."""
+    half = max(num // 2, 1)
+
+    def pose_of_time(t: float):
+        x = t * 20.0
+        f = x / half
+        yaw = yaw_max * (f if x < half else max(2.0 - f, 0.0))
+        cy_, sy_ = np.cos(yaw), np.sin(yaw)
+        R = np.array([[cy_, 0, -sy_], [0, 1, 0], [sy_, 0, cy_]])
+        c = np.array([0.25 * np.sin(2 * np.pi * x / num),
+                      0.05 * np.sin(4 * np.pi * x / num),
+                      0.25 * np.cos(2 * np.pi * x / num) - 0.25])
+        return R, c
+
+    return pose_of_time
+
+
+def imu_yaml() -> str:
+    rows = ", ".join(f"{v:.1f}" for v in np.eye(4).reshape(-1))
+    return (
+        "sensor_type: imu\n"
+        "T_BS:\n"
+        "  cols: 4\n"
+        "  rows: 4\n"
+        f"  data: [{rows}]\n"
+        "rate_hz: 200\n"
+        "gyroscope_noise_density: 1.6968e-04\n"
+        "gyroscope_random_walk: 1.9393e-05\n"
+        "accelerometer_noise_density: 2.0000e-3\n"
+        "accelerometer_random_walk: 3.0000e-3\n"
+    )
+
+
+def write_imu(mav, num: int, pose_of_time) -> None:
+    """200 Hz exact IMU stream over the whole camera window: body angular
+    rate from Log(R_wb(t)^T R_wb(t+h))/h, specific force R_wb^T (a_w - g_w)
+    with a_w the central second difference of the body center — all from
+    the SAME continuous-time trajectory the frames sample."""
+    from photo_slam_tpu.tracking.imu import GRAVITY, so3_log
+
+    g_w = np.array([0.0, 0.0, -GRAVITY])
+    hz, h = 200.0, 1e-4
+    t_end = (num - 1) / 20.0
+    d = mav / "imu0"
+    d.mkdir(parents=True, exist_ok=True)
+    (d / "sensor.yaml").write_text(imu_yaml())
+    lines = ["#timestamp [ns],w_RS_S_x [rad s^-1],w_RS_S_y [rad s^-1],"
+             "w_RS_S_z [rad s^-1],a_RS_S_x [m s^-2],a_RS_S_y [m s^-2],"
+             "a_RS_S_z [m s^-2]"]
+    k = 0
+    while k / hz <= t_end + 1e-9:
+        t = k / hz
+        # The preintegrator is first-order: it holds the sample over
+        # [t, t+1/hz] and rotates accel by the START-of-interval
+        # orientation. The exact held sample is therefore the MIDPOINT
+        # world dynamics expressed with the START orientation:
+        #   dv_world = dR(t) (R_wb(t)^T (a_w(mid) - g)) dt  (exact to 2nd
+        # order), and the midpoint angular rate (midpoint rule on SO(3)).
+        tm_ = t + 0.5 / hz
+        R0, _ = pose_of_time(t)
+        Rwb = R0.T
+        Rm, cm = pose_of_time(tm_ - h)
+        Rc, cc = pose_of_time(tm_)
+        Rp, cp = pose_of_time(tm_ + h)
+        # R_wb(tm-h)^T R_wb(tm+h) = R(tm-h) R(tm+h)^T over 2h (central).
+        w_b = so3_log(Rm @ Rp.T) / (2.0 * h)
+        a_w = (cm - 2.0 * cc + cp) / (h * h)
+        acc = Rwb.T @ (a_w - g_w)
+        ts = T0_NS + int(round(t * 1e9))
+        lines.append(f"{ts},{w_b[0]:.9f},{w_b[1]:.9f},{w_b[2]:.9f},"
+                     f"{acc[0]:.9f},{acc[1]:.9f},{acc[2]:.9f}")
+        k += 1
+    (d / "data.csv").write_text("\n".join(lines) + "\n")
+
+
 def main():
     import cv2
     import jax.numpy as jnp
@@ -92,8 +176,6 @@ def main():
 
     rng_l = np.random.RandomState(99)
     rng_r = np.random.RandomState(199)  # independent shot noise per eye
-    half = num // 2
-    yaw_max = 1.1
     cam_csv = ["#timestamp [ns],filename"]
     gt_csv = ["#timestamp, p_RS_R_x [m], p_RS_R_y [m], p_RS_R_z [m], "
               "q_RS_w [], q_RS_x [], q_RS_y [], q_RS_z []"]
@@ -112,14 +194,11 @@ def main():
 
     from photo_slam_tpu.utils.math import rotmat_to_quat
 
+    pose_of_time = trajectory(num)
+    write_imu(mav, num, pose_of_time)
+
     for i in range(num):
-        f = i / max(half, 1)
-        yaw = yaw_max * (f if i < half else max(2.0 - f, 0.0))
-        cy_, sy_ = np.cos(yaw), np.sin(yaw)
-        R = np.array([[cy_, 0, -sy_], [0, 1, 0], [sy_, 0, cy_]])
-        c_w0 = np.array([0.25 * np.sin(2 * np.pi * i / num),
-                         0.05 * np.sin(4 * np.pi * i / num),
-                         0.25 * np.cos(2 * np.pi * i / num) - 0.25])
+        R, c_w0 = pose_of_time(i / 20.0)
         # cam1 center: offset along cam0's +x axis expressed in world.
         c_w1 = c_w0 + R.T @ np.array([BASELINE, 0.0, 0.0])
         ts = T0_NS + i * DT_NS

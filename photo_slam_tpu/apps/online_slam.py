@@ -80,7 +80,8 @@ def run_online(dataset, sensor: SensorType, cfg: Config, out_dir,
     mapper = GaussianMapper(cfg, sensor, result_dir=out)
     mapper.add_camera(dataset.camera)
     tracker = _make_tracker(frontend, dataset, sensor, keyframe_every,
-                            num_keypoints, async_mapping=async_mapping)
+                            num_keypoints, async_mapping=async_mapping,
+                            use_imu=use_imu)
 
     server = None
     if viewer:
@@ -185,6 +186,9 @@ def run_online(dataset, sensor: SensorType, cfg: Config, out_dir,
         "ema_loss": mapper.trainer.ema_loss,
         "ate_rmse": ate,
         "loops_closed": getattr(tracker, "num_loops_closed", 0),
+        "imu_initialized": getattr(tracker, "imu_initialized", None),
+        "scale_refinements": getattr(tracker, "num_scale_refinements",
+                                     None),
         "mean_tracking_ms": (1000.0 * float(np.mean(track_times))
                              if track_times else None),
         # GpuPeakUsageMB-equivalent (reference: examples/replica_rgbd.cpp:235)
@@ -253,7 +257,8 @@ def replica_rgbd(argv=None):
                       keyframe_every=args.keyframe_every,
                       max_iterations=args.iters, frontend=args.frontend,
                       viewer=args.viewer, viewer_port=args.viewer_port,
-                      batch=args.batch, async_mapping=args.async_mapping)
+                      batch=args.batch, async_mapping=args.async_mapping,
+                      use_imu=args.imu)
 
 
 def replica_mono(argv=None):
@@ -270,7 +275,8 @@ def replica_mono(argv=None):
                       keyframe_every=args.keyframe_every,
                       max_iterations=args.iters, frontend=args.frontend,
                       viewer=args.viewer, viewer_port=args.viewer_port,
-                      batch=args.batch, async_mapping=args.async_mapping)
+                      batch=args.batch, async_mapping=args.async_mapping,
+                      use_imu=args.imu)
 
 
 def tum_rgbd(argv=None):
@@ -294,7 +300,8 @@ def tum_rgbd(argv=None):
                       keyframe_every=args.keyframe_every,
                       max_iterations=args.iters, frontend=args.frontend,
                       viewer=args.viewer, viewer_port=args.viewer_port,
-                      batch=args.batch, async_mapping=args.async_mapping)
+                      batch=args.batch, async_mapping=args.async_mapping,
+                      use_imu=args.imu)
 
 
 def tum_mono(argv=None):
@@ -320,7 +327,8 @@ def tum_mono(argv=None):
                       keyframe_every=args.keyframe_every,
                       max_iterations=args.iters, frontend=args.frontend,
                       viewer=args.viewer, viewer_port=args.viewer_port,
-                      batch=args.batch, async_mapping=args.async_mapping)
+                      batch=args.batch, async_mapping=args.async_mapping,
+                      use_imu=args.imu)
 
 
 def euroc_stereo(argv=None):
@@ -341,7 +349,8 @@ def euroc_stereo(argv=None):
                       keyframe_every=args.keyframe_every,
                       max_iterations=args.iters, frontend=args.frontend,
                       viewer=args.viewer, viewer_port=args.viewer_port,
-                      batch=args.batch, async_mapping=args.async_mapping)
+                      batch=args.batch, async_mapping=args.async_mapping,
+                      use_imu=args.imu)
 
 
 if __name__ == "__main__":

@@ -37,12 +37,7 @@ from photo_slam_tpu.ops.camera_math import CameraMatrices
 from photo_slam_tpu.ops.render import RenderSettings, render
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("settings",),
-    donate_argnames=("state", "opt_state"),
-)
-def train_step(
+def _train_step_impl(
     state: gm.GaussianState,
     opt_state: optim.AdamState,
     cam: CameraMatrices,
@@ -89,6 +84,67 @@ def train_step(
         "binning_clipped": res.num_clipped,
         "binning_overflow": res.num_overflow,
     }
+    return state, opt_state, metrics
+
+
+train_step = functools.partial(
+    jax.jit,
+    static_argnames=("settings",),
+    donate_argnames=("state", "opt_state"),
+)(_train_step_impl)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("settings", "num_steps"),
+    donate_argnames=("state", "opt_state"),
+)
+def train_chunk(
+    state: gm.GaussianState,
+    opt_state: optim.AdamState,
+    cams: CameraMatrices,
+    gt_images: jnp.ndarray,
+    mask: jnp.ndarray,
+    lrs: optim.LearningRates,
+    bg_color: jnp.ndarray,
+    lambda_dssim: jnp.ndarray,
+    start_iter: jnp.ndarray,
+    settings: RenderSettings,
+    num_steps: int,
+):
+    """`num_steps` sequential train iterations in ONE XLA dispatch.
+
+    Semantically identical to calling train_step `num_steps` times on views
+    (start_iter + j) % V of the resident view ring — but the per-call host
+    dispatch (an execute RPC over the remote-TPU tunnel per iteration)
+    amortizes across the whole chunk. Offline protocol loops (the 30k
+    quality soak, trainColmap-style fits) call this between structural
+    events (densify boundaries), which is where the reference's hot loop
+    spends its life (reference: src/gaussian_mapper.cpp:505-525).
+
+    Args:
+      cams: CameraMatrices pytree with a leading view axis [V, ...].
+      gt_images: [V, 3, H, W] device-resident ground-truth ring.
+      start_iter: int32 scalar — 0-based global index of the chunk's first
+        iteration; step j trains on view (start_iter + j) % V.
+      num_steps: static chunk length.
+
+    Returns (state, opt_state, metrics) where each metrics entry is stacked
+    over the chunk ([num_steps] per scalar; callers typically read [-1]).
+    """
+    v_count = gt_images.shape[0]
+
+    def body(carry, j):
+        st, opt = carry
+        v = (start_iter.astype(jnp.int32) + j) % v_count
+        cam = jax.tree.map(lambda x: x[v], cams)
+        gt = jax.lax.dynamic_index_in_dim(gt_images, v, keepdims=False)
+        st, opt, m = _train_step_impl(st, opt, cam, gt, mask, lrs,
+                                      bg_color, lambda_dssim, settings)
+        return (st, opt), m
+
+    (state, opt_state), metrics = jax.lax.scan(
+        body, (state, opt_state), jnp.arange(num_steps, dtype=jnp.int32))
     return state, opt_state, metrics
 
 

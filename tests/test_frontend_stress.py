@@ -33,7 +33,16 @@ from tests.test_loop_closing import CYL_R, _cylinder_world  # noqa: E402
 def _full_cylinder_world(n=18000, seed=5):
     """Splat cylinder with FULL angular coverage (the test trajectories
     sweep +-1.3 rad; the default _cylinder_world only covers +-2.2 but with
-    half the density per radian we want here)."""
+    half the density per radian we want here).
+
+    Colors are a smooth multi-frequency field over the (phi, y) surface plus
+    per-splat noise — DISTINCTIVE texture, like real scenes. IID random
+    colors at this density are repetitive texture by construction (every
+    neighborhood statistically identical): the ratio-test vote and the
+    covisibility-normalized retrieval refuse to match such worlds BY DESIGN
+    (see test_loop_closing.py::test_no_false_loop_on_repetitive_texture),
+    so place recognition over a long session is only a well-posed ask on a
+    distinctive world."""
     rng = np.random.RandomState(seed)
     phi = rng.uniform(-2.2, 2.2, n)
     y = rng.uniform(-1.6, 1.6, n)
@@ -43,7 +52,14 @@ def _full_cylinder_world(n=18000, seed=5):
     scales = np.full((n, 3), 0.035, np.float32)
     quats = np.tile(np.array([1.0, 0, 0, 0], np.float32), (n, 1))
     opac = np.full(n, 0.95, np.float32)
-    cols = rng.uniform(0.0, 1.0, (n, 3)).astype(np.float32)
+    freqs = rng.uniform(0.5, 6.0, (8, 2))
+    phase = rng.uniform(0.0, 2.0 * np.pi, 8)
+    basis = np.sin(np.outer(phi, freqs[:, 0]) + np.outer(y, freqs[:, 1])
+                   + phase)                                   # [n, 8]
+    wmix = rng.randn(8, 3)
+    cols = (0.5 + 0.35 * np.tanh(basis @ wmix / 2.0)
+            + 0.15 * rng.uniform(-1.0, 1.0, (n, 3)))
+    cols = np.clip(cols, 0.0, 1.0).astype(np.float32)
     return pts, scales, quats, opac, cols
 
 

@@ -166,3 +166,70 @@ class TestEndToEnd:
         assert inserted == 100
         assert trainer.state.capacity > cap0
         assert int(np.asarray(trainer.state.live).sum()) == 140
+
+
+class TestTrainChunk:
+    """train_chunk == the same sequence of train_step calls (one dispatch
+    vs num_steps dispatches; the offline protocol loops use the chunk)."""
+
+    def test_chunk_matches_sequential_steps(self):
+        from photo_slam_tpu.mapper.trainer import train_chunk, train_step
+        from photo_slam_tpu.models import gaussian_model as gm
+        from photo_slam_tpu.models import optimizer as optim
+
+        pts, scales, quats, opac, colors = gt_model(n=40, seed=5)
+        cams = []
+        gts = []
+        for R, t in poses():
+            cm = build_camera_matrices(R, t, 0.01, 100.0,
+                                       2 * np.arctan(W / (2 * FX)),
+                                       2 * np.arctan(H / (2 * FY)))
+            cams.append(cm)
+            gts.append(render_gt(pts, scales, quats, opac, colors, cm))
+
+        rng = np.random.RandomState(1)
+        init = pts + rng.randn(*pts.shape).astype(np.float32) * 0.05
+        settings = RenderSettings(width=W, height=H, tan_fovx=W / (2 * FX),
+                                  tan_fovy=H / (2 * FY), sh_degree=0)
+        lrs = optim.LearningRates.create(1.6e-4, 2.5e-3, 0.05, 5e-3, 1e-3)
+        mask = jnp.ones((H, W), jnp.float32)
+        bg = jnp.zeros(3)
+        lam = jnp.float32(0.2)
+        num_steps = 7
+        start = 2  # exercise a non-zero ring offset
+
+        def fresh():
+            st = gm.create_from_pcd(init, np.full_like(init, 0.5),
+                                    sh_degree=0, capacity=64)
+            return st, optim.init_adam(st.params)
+
+        # Sequential reference.
+        st_a, opt_a = fresh()
+        for j in range(num_steps):
+            v = (start + j) % len(cams)
+            st_a, opt_a, m_a = train_step(st_a, opt_a, cams[v],
+                                          jnp.asarray(gts[v]), mask, lrs,
+                                          bg, lam, settings)
+
+        # One chunk dispatch.
+        st_b, opt_b = fresh()
+        cams_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
+        gts_stack = jnp.stack([jnp.asarray(g) for g in gts])
+        st_b, opt_b, metrics = train_chunk(
+            st_b, opt_b, cams_stack, gts_stack, mask, lrs, bg, lam,
+            jnp.int32(start), settings, num_steps)
+
+        for la, lb in zip(jax.tree.leaves(st_a.params),
+                          jax.tree.leaves(st_b.params)):
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                       atol=1e-6, rtol=1e-5)
+        for la, lb in zip(jax.tree.leaves(opt_a), jax.tree.leaves(opt_b)):
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                       atol=1e-6, rtol=1e-5)
+        assert metrics["loss"].shape == (num_steps,)
+        np.testing.assert_allclose(float(metrics["loss"][-1]),
+                                   float(m_a["loss"]), atol=1e-6, rtol=1e-5)
+        # Densify stats accumulated identically (they feed the protocol).
+        np.testing.assert_allclose(np.asarray(st_a.xyz_grad_accum),
+                                   np.asarray(st_b.xyz_grad_accum),
+                                   atol=1e-6, rtol=1e-5)

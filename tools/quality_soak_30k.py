@@ -113,7 +113,8 @@ def main():
     jax.config.update("jax_compilation_cache_dir", str(cache_dir))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from photo_slam_tpu.mapper.trainer import densify_step, train_step
+    from photo_slam_tpu.mapper.trainer import (densify_step, train_chunk,
+                                               train_step)
     from photo_slam_tpu.models import gaussian_model as gm
     from photo_slam_tpu.models import optimizer as optim
     from photo_slam_tpu.ops.camera_math import build_camera_matrices
@@ -282,11 +283,32 @@ def main():
     # every 3000 collapsed the map irrecoverably: 31 dB -> 8 dB at iter 3000,
     # r4a run), prune_big_point_after_iter 30000 (never fires).
     lrs_i = lrs._replace(xyz=jnp.float32(3.2e-4 * max(extent, 1.0)))
-    for i in range(start_i + 1, PROTOCOL_ITERS + 1):
-        v = (i - 1) % len(views)
-        state, opt_state, m = train_step(state, opt_state, views[v],
-                                         gt_views[v], mask, lrs_i, bg, lam,
-                                         settings)
+    # Chunked dispatch: CHUNK iterations per XLA call (train_chunk scans the
+    # resident view ring on device) — identical update sequence to the
+    # per-iteration loop (tests/test_trainer.py::TestTrainChunk), but the
+    # per-call tunnel dispatch amortizes 100x. 100 divides every structural
+    # boundary (densify interval, telemetry, CKPT_EVERY).
+    CHUNK = int(os.environ.get("SOAK_CHUNK", "100"))
+    cams_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *views)
+    gts_stack = jnp.stack(gt_views)
+    last_tel_t, last_tel_i = time.time(), start_i
+    while i < PROTOCOL_ITERS:
+        n_steps = int(min(CHUNK - (i % CHUNK), PROTOCOL_ITERS - i))
+        if n_steps == CHUNK:
+            state, opt_state, mc = train_chunk(
+                state, opt_state, cams_stack, gts_stack, mask, lrs_i, bg,
+                lam, jnp.int32(i), settings, CHUNK)
+            m = {"loss": mc["loss"][-1]}
+            i += CHUNK
+        else:
+            # Unaligned resume/tail: single steps up to the next boundary
+            # (avoids compiling a second chunk length).
+            for j in range(n_steps):
+                v = (i + j) % len(views)
+                state, opt_state, m = train_step(
+                    state, opt_state, views[v], gt_views[v], mask, lrs_i,
+                    bg, lam, settings)
+            i += n_steps
         if 600 < i <= 15000 and i % 100 == 0:
             t_d = time.perf_counter()
             key, sub = jax.random.split(key)
@@ -301,10 +323,13 @@ def main():
             ho = float(score_fn(_render_exact(state.params, state.live,
                                               test_cams[0]), gt_tests[0])[0])
             rate = (i - start_i) / max(time.time() - t0, 1e-9)
+            inst = (i - last_tel_i) / max(time.time() - last_tel_t, 1e-9)
+            last_tel_t, last_tel_i = time.time(), i
             rec = {"iter": i, "loss": round(float(m["loss"]), 5),
                    "held_out_psnr_db": round(ho, 3),
                    "live": int(gm.num_live(state)),
                    "iters_per_sec": round(rate, 2),
+                   "window_iters_per_sec": round(inst, 2),
                    "wall_s": round(time.time() - t_start, 1)}
             telemetry.append(rec)
             with open(tel_path, "a") as f:

@@ -318,8 +318,12 @@ def main():
                 max_screen_size=0, percent_dense=0.01)
             spans["densify_s"] += time.perf_counter() - t_d
         if i % 2000 == 0:
-            t_d = time.perf_counter()
+            # Drain the queued async steps BEFORE the telemetry timer: that
+            # wait is step compute (already represented by step_ms_sync),
+            # not telemetry cost — counting it here double-books the time
+            # and drives the residual other_s bucket negative.
             jax.block_until_ready(m["loss"])
+            t_d = time.perf_counter()
             ho = float(score_fn(_render_exact(state.params, state.live,
                                               test_cams[0]), gt_tests[0])[0])
             rate = (i - start_i) / max(time.time() - t0, 1e-9)
@@ -337,6 +341,9 @@ def main():
             log(f"[soak] {rec}")
             spans["telemetry_s"] += time.perf_counter() - t_d
         if i % CKPT_EVERY == 0:
+            # Same drain-before-timer discipline as the telemetry branch
+            # (save_ckpt's np.asarray would otherwise absorb queued steps).
+            jax.block_until_ready(state.params.xyz)
             t_d = time.perf_counter()
             save_ckpt(OUT / f"ckpt_{i:06d}.npz", state, opt_state, i, key)
             for old in sorted(OUT.glob("ckpt_*.npz"))[:-2]:
